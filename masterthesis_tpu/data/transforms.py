@@ -1,0 +1,99 @@
+"""Host-side image transforms (PIL + numpy), NHWC float32 in [-1, 1].
+
+Parity with the reference's torchvision pipeline (src/dataset.py:107-116):
+Resize((load_size, load_size), BICUBIC) -> Random/CenterCrop(crop_size) ->
+RandomHorizontalFlip -> ToTensor -> Normalize(0.5, 0.5).
+
+Randomness is an explicit ``numpy.random.Generator`` instead of global state.
+"""
+from __future__ import annotations
+
+from typing import Optional, Tuple
+
+import numpy as np
+from PIL import Image
+
+
+def load_rgb(path: str) -> Image.Image:
+    return Image.open(path).convert("RGB")
+
+
+def resize(img: Image.Image, size: Tuple[int, int]) -> Image.Image:
+    """size is (height, width) like torchvision."""
+    return img.resize((size[1], size[0]), Image.BICUBIC)
+
+
+def center_crop(arr: np.ndarray, size: int) -> np.ndarray:
+    h, w = arr.shape[:2]
+    top = (h - size) // 2
+    left = (w - size) // 2
+    return arr[top : top + size, left : left + size]
+
+
+def random_crop(arr: np.ndarray, size: int, rng: np.random.Generator) -> np.ndarray:
+    h, w = arr.shape[:2]
+    top = int(rng.integers(0, h - size + 1))
+    left = int(rng.integers(0, w - size + 1))
+    return arr[top : top + size, left : left + size]
+
+
+def hflip(arr: np.ndarray) -> np.ndarray:
+    return arr[:, ::-1]
+
+
+def to_array(img: Image.Image) -> np.ndarray:
+    """PIL -> float32 HWC in [0, 1] (ToTensor without the CHW permute)."""
+    return np.asarray(img, dtype=np.float32) / 255.0
+
+
+def normalize(arr: np.ndarray, mean: float = 0.5, std: float = 0.5) -> np.ndarray:
+    return (arr - mean) / std
+
+
+class TrainTransform:
+    """Full train/eval pipeline (reference dataset.py:107-116)."""
+
+    def __init__(
+        self,
+        load_size: int = 286,
+        crop_size: int = 256,
+        train: bool = True,
+        no_flip: bool = False,
+    ):
+        self.load_size = load_size
+        self.crop_size = crop_size
+        self.train = train
+        self.no_flip = no_flip
+
+    def __call__(self, img: Image.Image, rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        if rng is None:
+            rng = np.random.default_rng()
+        img = resize(img, (self.load_size, self.load_size))
+        arr = to_array(img)
+        if self.train:
+            arr = random_crop(arr, self.crop_size, rng)
+        else:
+            arr = center_crop(arr, self.crop_size)
+        if not self.no_flip and self.train and rng.random() < 0.5:
+            arr = hflip(arr)
+        return np.ascontiguousarray(normalize(arr))
+
+
+class EvalTransform:
+    """Sampler-time pipeline: Resize((540, 960)) -> normalize
+    (reference sample.py:48-53)."""
+
+    def __init__(self, size: Tuple[int, int] = (540, 960)):
+        self.size = size
+
+    def __call__(self, img: Image.Image, rng=None) -> np.ndarray:
+        img = resize(img, self.size)
+        return np.ascontiguousarray(normalize(to_array(img)))
+
+
+class ToTensorTransform:
+    """Plain decode -> [0,1] float array (reference ImageList default,
+    dataset.py:24-26)."""
+
+    def __call__(self, img: Image.Image, rng=None) -> np.ndarray:
+        return to_array(img)

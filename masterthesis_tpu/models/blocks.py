@@ -1,0 +1,582 @@
+"""Composable NHWC conv blocks (Flax).
+
+Capability parity with reference src/models/core/blocks.py (ConvBlock:10,
+UpsampleBlock:48, DownResnetBlock:93, ResnetBlock:121, AdaINResnetBlock:140,
+DecResnetBlock:169) re-designed for TPU:
+
+- NHWC layout (XLA's native conv layout on TPU; channels land on the 128-lane
+  minor dimension).
+- Explicit reflect/replicate padding folded in front of VALID convs (XLA fuses
+  the pad into the conv window).
+- Norm/activation as pure functions so everything fuses into the conv epilogue.
+- ConvTranspose padding mapped from torch's (k, s, p, output_padding)
+  arithmetic to explicit (lo, hi) padding.
+
+Known divergences from the reference (intentional):
+- `batch` norm uses batch statistics always (no running stats) — GAN training
+  never evaluates with running stats in the reference configs.
+- The reference's pixelshuffle UpsampleBlock (blocks.py:77-79) has a channel
+  mismatch bug (conv to C then shuffle -> C/4); here the conv widens to 4*C so
+  the block is usable.
+"""
+from __future__ import annotations
+
+from typing import Any, Optional
+
+import jax
+import jax.numpy as jnp
+from flax import linen as nn
+
+from masterthesis_tpu.ops.initializers import (
+    get_conv_init,
+    torch_linear_bias_init,
+    torch_linear_kernel_init,
+)
+from masterthesis_tpu.ops.norms import InstanceNorm, LayerNorm, instance_norm, layer_norm
+from masterthesis_tpu.ops.spectral import SpectralNorm
+
+Dtype = Any
+
+ACTIVATIONS = {
+    "relu": nn.relu,
+    "lrelu": lambda x: nn.leaky_relu(x, negative_slope=0.01),
+    "tanh": jnp.tanh,
+    "sigmoid": nn.sigmoid,
+}
+
+
+def get_activation(name: Optional[str]):
+    """String -> activation fn (reference functions.py:28-43)."""
+    if name is None:
+        return None
+    if callable(name):
+        return name
+    if name not in ACTIVATIONS:
+        raise NotImplementedError(f"activation type '{name}' is not supported at the moment")
+    return ACTIVATIONS[name]
+
+
+def pad2d(x: jnp.ndarray, pad: int, padding_type: Optional[str]) -> jnp.ndarray:
+    """Spatial padding for NHWC input (reference functions.py:45-58)."""
+    if pad == 0 or padding_type is None:
+        return x
+    widths = ((0, 0), (pad, pad), (pad, pad), (0, 0))
+    if padding_type == "reflect":
+        return jnp.pad(x, widths, mode="reflect")
+    if padding_type == "replicate":
+        return jnp.pad(x, widths, mode="edge")
+    raise NotImplementedError(f"padding type '{padding_type}' is not supported at the moment")
+
+
+def avg_pool2d(
+    x: jnp.ndarray,
+    window: int,
+    stride: int,
+    padding: int = 0,
+    count_include_pad: bool = True,
+) -> jnp.ndarray:
+    """NHWC average pooling with torch-style int padding semantics."""
+    import numpy as np
+
+    dims = (1, window, window, 1)
+    strides = (1, stride, stride, 1)
+    pads = ((0, 0), (padding, padding), (padding, padding), (0, 0))
+    zero = np.zeros((), jnp.dtype(x.dtype))  # concrete 0 so autodiff sees a monoid sum
+    summed = jax.lax.reduce_window(x, zero, jax.lax.add, dims, strides, pads)
+    if count_include_pad or padding == 0:
+        return summed / (window * window)
+    ones = jnp.ones(x.shape[1:3], dtype=x.dtype)[None, :, :, None]
+    counts = jax.lax.reduce_window(ones, zero, jax.lax.add, dims, strides, pads)
+    return summed / counts
+
+
+def global_avg_pool(x: jnp.ndarray) -> jnp.ndarray:
+    """AdaptiveAvgPool2d(1) equivalent: (N,H,W,C) -> (N,C)."""
+    return jnp.mean(x, axis=(1, 2))
+
+
+def upsample_nearest(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    x = jnp.repeat(x, factor, axis=1)
+    return jnp.repeat(x, factor, axis=2)
+
+
+def depth_to_space(x: jnp.ndarray, factor: int = 2) -> jnp.ndarray:
+    n, h, w, c = x.shape
+    x = x.reshape(n, h, w, factor, factor, c // (factor * factor))
+    x = x.transpose(0, 1, 3, 2, 4, 5)
+    return x.reshape(n, h * factor, w * factor, c // (factor * factor))
+
+
+class BatchNorm2d(nn.Module):
+    """Affine batch normalization using batch statistics (see module docstring)."""
+
+    eps: float = 1e-5
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+        bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(0, 1, 2), keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=(0, 1, 2), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + self.eps)
+        y = y * scale.astype(jnp.float32) + bias.astype(jnp.float32)
+        return y.astype(x.dtype)
+
+
+def make_norm(name: Optional[str]):
+    """String -> norm module factory (reference functions.py:11-26)."""
+    if name is None:
+        return None
+    if name == "batch":
+        return BatchNorm2d
+    if name == "instance":
+        return InstanceNorm
+    if name == "layer":
+        return LayerNorm
+    raise NotImplementedError(f"norm type '{name}' is not supported at the moment")
+
+
+class Conv2d(nn.Module):
+    """Plain conv with optional spectral norm, torch-style int padding."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = True
+    sn: bool = False
+    init_type: Optional[str] = None
+    init_gain: float = 0.02
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            get_conv_init(self.init_type, self.init_gain),
+            (k, k, in_features, self.features),
+            self.param_dtype,
+        )
+        if self.sn:
+            kernel = SpectralNorm(name="sn")(kernel)
+        y = jax.lax.conv_general_dilated(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            window_strides=(self.stride, self.stride),
+            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class ConvTranspose2d(nn.Module):
+    """Transposed conv with torch (k, s, p, output_padding) arithmetic."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    output_padding: int = 0
+    use_bias: bool = True
+    sn: bool = False
+    init_type: Optional[str] = None
+    init_gain: float = 0.02
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        k = self.kernel_size
+        kernel = self.param(
+            "kernel",
+            get_conv_init(self.init_type, self.init_gain),
+            (k, k, in_features, self.features),
+            self.param_dtype,
+        )
+        if self.sn:
+            kernel = SpectralNorm(name="sn")(kernel)
+        lo = k - 1 - self.padding
+        hi = k - 1 - self.padding + self.output_padding
+        y = jax.lax.conv_transpose(
+            x.astype(self.dtype),
+            kernel.astype(self.dtype),
+            strides=(self.stride, self.stride),
+            padding=((lo, hi), (lo, hi)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            preferred_element_type=jnp.float32,
+        ).astype(self.dtype)
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            y = y + bias.astype(self.dtype)
+        return y
+
+
+class Dense(nn.Module):
+    """Linear layer with torch nn.Linear default init."""
+
+    features: int
+    use_bias: bool = True
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        return nn.Dense(
+            self.features,
+            use_bias=self.use_bias,
+            kernel_init=torch_linear_kernel_init,
+            bias_init=torch_linear_bias_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )(x)
+
+
+class ConvBlock(nn.Module):
+    """pad -> (SN)conv -> norm -> activation (reference blocks.py:10-46)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    use_bias: bool = False
+    norm: Optional[str] = None
+    activation: Optional[str] = None
+    padding_type: Optional[str] = None
+    sn: bool = False
+    init_type: Optional[str] = None
+    init_gain: float = 0.02
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        pad = self.padding
+        if self.padding_type is not None:
+            x = pad2d(x, pad, self.padding_type)
+            pad = 0
+        y = Conv2d(
+            self.features,
+            self.kernel_size,
+            self.stride,
+            pad,
+            use_bias=self.use_bias,
+            sn=self.sn,
+            init_type=self.init_type,
+            init_gain=self.init_gain,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="conv",
+        )(x)
+        norm_cls = make_norm(self.norm)
+        if norm_cls is not None:
+            y = norm_cls(name="norm")(y)
+        act = get_activation(self.activation)
+        if act is not None:
+            y = act(y)
+        return y
+
+
+class UpsampleBlock(nn.Module):
+    """transpose / nearest+conv / conv+pixelshuffle upsampling
+    (reference blocks.py:48-91)."""
+
+    features: int
+    kernel_size: int
+    stride: int = 1
+    padding: int = 0
+    output_padding: int = 0
+    use_bias: bool = False
+    norm: Optional[str] = None
+    activation: Optional[str] = None
+    padding_type: Optional[str] = None
+    sn: bool = False
+    up_type: str = "transpose"
+    init_type: Optional[str] = None
+    init_gain: float = 0.02
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        common = dict(
+            sn=self.sn,
+            init_type=self.init_type,
+            init_gain=self.init_gain,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        if "transpose" in self.up_type:
+            y = ConvTranspose2d(
+                self.features,
+                self.kernel_size,
+                self.stride,
+                self.padding,
+                self.output_padding,
+                use_bias=self.use_bias,
+                name="conv",
+                **common,
+            )(x)
+        elif "nearest" in self.up_type:
+            y = upsample_nearest(x, 2)
+            y = ConvBlock(
+                self.features,
+                self.kernel_size,
+                1,
+                self.padding,
+                use_bias=self.use_bias,
+                padding_type=self.padding_type,
+                name="conv",
+                **common,
+            )(y)
+        elif "pixelshuffle" in self.up_type:
+            y = ConvBlock(
+                self.features * 4,
+                self.kernel_size,
+                1,
+                self.padding,
+                use_bias=self.use_bias,
+                padding_type=self.padding_type,
+                name="conv",
+                **common,
+            )(x)
+            y = depth_to_space(y, 2)
+        else:
+            raise NotImplementedError(f"Mode {self.up_type} is not supported at the moment")
+        norm_cls = make_norm(self.norm)
+        if norm_cls is not None:
+            y = norm_cls(name="norm")(y)
+        act = get_activation(self.activation)
+        if act is not None:
+            y = act(y)
+        return y
+
+
+class DownResnetBlock(nn.Module):
+    """Pre-activation residual downsampling block (reference blocks.py:93-119)."""
+
+    features: int
+    norm: Optional[str] = "instance"
+    activation: Optional[str] = "lrelu"
+    padding_type: Optional[str] = "reflect"
+    use_bias: bool = True
+    init_type: Optional[str] = None
+    init_gain: float = 0.02
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        in_features = x.shape[-1]
+        common = dict(
+            init_type=self.init_type,
+            init_gain=self.init_gain,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        h = x
+        norm_cls = make_norm(self.norm)
+        if norm_cls is not None:
+            h = norm_cls(name="pre_norm")(h)
+        act = get_activation(self.activation)
+        h = act(h)
+        h = ConvBlock(
+            in_features,
+            3,
+            1,
+            1,
+            use_bias=self.use_bias,
+            norm=self.norm,
+            activation=self.activation,
+            padding_type=self.padding_type,
+            name="conv1",
+            **common,
+        )(h)
+        h = ConvBlock(
+            self.features,
+            3,
+            1,
+            1,
+            use_bias=self.use_bias,
+            padding_type=self.padding_type,
+            name="conv2",
+            **common,
+        )(h)
+        h = avg_pool2d(h, 2, 2)
+        s = avg_pool2d(x, 2, 2)
+        s = Conv2d(self.features, 1, 1, 0, use_bias=self.use_bias, name="shortcut", **common)(s)
+        return h + s
+
+
+class ResnetBlock(nn.Module):
+    """Standard 2-conv residual block (reference blocks.py:121-138)."""
+
+    features: int
+    dropout: bool = False
+    norm: Optional[str] = "instance"
+    padding_type: Optional[str] = "reflect"
+    activation: Optional[str] = "relu"
+    init_type: Optional[str] = None
+    init_gain: float = 0.02
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        common = dict(
+            init_type=self.init_type,
+            init_gain=self.init_gain,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        h = ConvBlock(
+            self.features,
+            3,
+            1,
+            1,
+            norm=self.norm,
+            activation=self.activation,
+            padding_type=self.padding_type,
+            name="conv1",
+            **common,
+        )(x)
+        h = ConvBlock(
+            self.features,
+            3,
+            1,
+            1,
+            norm=self.norm,
+            padding_type=self.padding_type,
+            name="conv2",
+            **common,
+        )(h)
+        if self.dropout:
+            h = nn.Dropout(0.5, deterministic=deterministic)(h)
+        return x + h
+
+
+class AdaINResnetBlock(nn.Module):
+    """Residual block with shared AdaIN modulation after each conv
+    (reference blocks.py:140-167; the single `norm` module is shared by both
+    convs, so the style projection parameters are shared too)."""
+
+    features: int
+    dropout: bool = False
+    padding_type: Optional[str] = "reflect"
+    activation: Optional[str] = "relu"
+    init_type: Optional[str] = None
+    init_gain: float = 0.02
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, z, deterministic: bool = True):
+        from masterthesis_tpu.ops.norms import AdaptiveInstanceNorm
+
+        common = dict(
+            init_type=self.init_type,
+            init_gain=self.init_gain,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        norm = AdaptiveInstanceNorm(
+            self.features, dtype=self.dtype, param_dtype=self.param_dtype, name="adain"
+        )
+        act = get_activation(self.activation)
+        h = ConvBlock(self.features, 3, 1, 1, padding_type=self.padding_type, name="conv1", **common)(x)
+        h = norm(h, z)
+        h = act(h)
+        h = ConvBlock(self.features, 3, 1, 1, padding_type=self.padding_type, name="conv2", **common)(h)
+        h = norm(h, z)
+        if self.dropout:
+            h = nn.Dropout(0.5, deterministic=deterministic)(h)
+        return x + h
+
+
+class DecResnetBlock(nn.Module):
+    """Residual block with per-block style chunk injected via channel concat +
+    1x1 bottlenecks (reference blocks.py:169-208)."""
+
+    features: int
+    norm: Optional[str] = "instance"
+    padding_type: Optional[str] = "reflect"
+    dropout: bool = False
+    init_type: Optional[str] = None
+    init_gain: float = 0.02
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, z, deterministic: bool = True):
+        common = dict(
+            init_type=self.init_type,
+            init_gain=self.init_gain,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+        )
+        n, h_dim, w_dim, _ = x.shape
+        z_map = jnp.broadcast_to(z[:, None, None, :], (n, h_dim, w_dim, z.shape[-1])).astype(x.dtype)
+        norm_cls = make_norm(self.norm)
+
+        def mix(name, inp):
+            cat = jnp.concatenate([inp, z_map], axis=-1)
+            y = Conv2d(cat.shape[-1], 1, 1, 0, name=f"{name}_a", **common)(cat)
+            y = nn.relu(y)
+            y = Conv2d(self.features, 1, 1, 0, name=f"{name}_b", **common)(y)
+            return nn.relu(y)
+
+        out = ConvBlock(self.features, 3, 1, 1, padding_type=self.padding_type, name="conv1", **common)(x)
+        if norm_cls is not None:
+            out = norm_cls(name="norm1")(out)
+        out = mix("block1", out)
+        out = ConvBlock(self.features, 3, 1, 1, padding_type=self.padding_type, name="conv2", **common)(out)
+        if norm_cls is not None:
+            out = norm_cls(name="norm2")(out)
+        out = mix("block2", out)
+        if self.dropout:
+            out = nn.Dropout(0.5, deterministic=deterministic)(out)
+        return x + out
+
+
+class GaussianNoise(nn.Module):
+    """Additive standard normal noise during training
+    (reference misc.py:18-25); uses the 'noise' rng stream."""
+
+    @nn.compact
+    def __call__(self, x, deterministic: bool = True):
+        if deterministic:
+            return x
+        noise = jax.random.normal(self.make_rng("noise"), x.shape, dtype=x.dtype)
+        return x + noise
+
+
+class HighPass(nn.Module):
+    """Depthwise 3x3 high-pass filter (reference misc.py:6-16)."""
+
+    w_hpf: float = 1.0
+
+    @nn.compact
+    def __call__(self, x):
+        c = x.shape[-1]
+        filt = (
+            jnp.array([[-1, -1, -1], [-1, 8.0, -1], [-1, -1, -1]], dtype=x.dtype) / self.w_hpf
+        )
+        kernel = jnp.tile(filt[:, :, None, None], (1, 1, 1, c))  # HWIO with I=1, groups=c
+        return jax.lax.conv_general_dilated(
+            x,
+            kernel,
+            window_strides=(1, 1),
+            padding=((1, 1), (1, 1)),
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            feature_group_count=c,
+        )

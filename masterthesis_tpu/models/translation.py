@@ -1,0 +1,489 @@
+"""Disentangled content/style translation model — shared GAN+VAE train logic.
+
+This is the TPU-native re-design of the reference's BaseModel/AdaINModel
+optimization (src/models/base_model.py:99-470, adain_model.py:83-430):
+
+- The reference runs 5+ separate zero_grad/backward/step passes per iteration
+  through torch autograd. Here the ENTIRE iteration — D1 update, D2 update,
+  G phase 1 (enc+style+dec), G phase 2 (enc+dec) — is ONE jitted, donated
+  function (`_main_step`); the content-discriminator off-iteration is a second
+  jitted function (`_content_step`). No Python runs between device ops.
+- `.detach()` becomes `jax.lax.stop_gradient`; `retain_graph` disappears —
+  each phase is an independent `jax.value_and_grad` over its parameter subset.
+- All call-site torch RNG (z_random, VAE eps, content noise) is explicit
+  `jax.random` key threading.
+- Decoder calls that the reference issues per-direction are fused into single
+  4b-batch calls (per-sample norms make this exact) to keep the MXU busy.
+
+Update-schedule parity (base_model.py:461-470): on iterations where
+``use_dis_content`` and ``it % d_iter != 0`` only the content discriminator
+updates (with grad-clip 5 and lr/2.5, base_model.py:79-87,165); otherwise
+D1, D2, G-phase1, G-phase2 all update in order, with G seeing the
+just-updated discriminators.
+
+Documented divergences from the reference (intentional, see SURVEY.md §7):
+- non-reparam latent regression uses both a and b halves
+  (base_model.py:420 reuses `z_sr_a` for both — a bug);
+- `loss_dc` is logged as ``d_content_cls`` (the reference stores it on an
+  attribute that never reaches tensorboard, base_model.py:164);
+- perceptual loss keeps its gradient (reference loss.py:133 detaches it).
+"""
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from masterthesis_tpu.models import losses as L
+from masterthesis_tpu.models.functions import apply_updates
+from masterthesis_tpu.models.model import Model
+from masterthesis_tpu.models.state import TrainState
+
+GEN_NETS = ("content_encoder", "style_encoder", "decoder")
+
+
+class TranslationModel(Model):
+    """Shared logic; subclasses pick encoders/decoders (reparam flag etc.)."""
+
+    #: whether the style encoder is VAE-reparameterized (set by subclass)
+    reparam: bool = True
+
+    def __init__(self, args):
+        super().__init__(args)
+        self.latent_dim = args.latent_dim
+        self.perceptual = None
+        self.perceptual_params = {}
+        if self._is_train() and getattr(args, "vgg_loss", None) is not None:
+            self.perceptual = L.VGGPerceptualLoss(
+                layers=tuple(args.vgg_layers),
+                layer_weights=tuple(args.layer_weights),
+                vgg_type=args.vgg_type,
+                loss_fn=args.vgg_loss,
+                norm_feat=getattr(args, "norm_feat", False),
+            )
+        self.print_loss = ["g_adv", "g_cls", "l1_cc_rec"]
+        if getattr(args, "vgg_loss", None) is not None:
+            self.print_loss += ["g_p", "g_p2"]
+        self._main_step = jax.jit(self._main_step_impl, donate_argnums=0)
+        self._content_step = jax.jit(self._content_step_impl, donate_argnums=0)
+        self._forward_jit = jax.jit(self._forward_impl)
+        self._forward_random_jit = jax.jit(self._forward_random_impl)
+        self._forward_reference_jit = jax.jit(self._forward_reference_impl)
+
+    def init_perceptual(self, rng: Optional[jax.Array] = None, weights_path: Optional[str] = None):
+        """Initialize (or load) the frozen VGG feature extractor params."""
+        if self.perceptual is None:
+            return
+        shape = (1, int(self.args.crop_size), int(self.args.crop_size), int(self.args.input_dim))
+        dummy = jnp.zeros(shape, jnp.float32)
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        variables = self.perceptual.init(rng, dummy, dummy)
+        if weights_path:
+            from masterthesis_tpu.models.losses import load_vgg_params
+
+            vgg = load_vgg_params(weights_path, self.perceptual.layers, self.perceptual.vgg_type)
+            variables = {"params": {"vgg": vgg["params"]}}
+        self.perceptual_params = variables["params"]
+
+    # ------------------------------------------------------------------ #
+    # net application helpers
+    # ------------------------------------------------------------------ #
+    def _apply(self, name, params, extra, *args, rngs=None, **kwargs):
+        variables = {"params": params[name]}
+        if extra is not None and extra.get(name):
+            variables["spectral"] = extra[name]
+        return self.nets[name].apply(variables, *args, rngs=rngs, **kwargs)
+
+    def encode_content(self, params, extra, img, rng=None, train=False):
+        rngs = {"noise": rng} if (train and rng is not None) else None
+        return self._apply(
+            "content_encoder", params, extra, img, deterministic=not train, rngs=rngs
+        )
+
+    def encode_style(self, params, img, c, rng=None, train=False, sample=True):
+        """Returns (z, mu, logvar); mu/logvar are None for the plain encoder."""
+        if self.reparam:
+            do_sample = sample and rng is not None
+            rngs = {"reparam": rng} if do_sample else None
+            z, mu, logvar = self._apply(
+                "style_encoder", params, None, img, c, sample=do_sample, rngs=rngs
+            )
+            return z, mu, logvar
+        z = self._apply("style_encoder", params, None, img, c)
+        return z, None, None
+
+    def decode(self, params, z_c, z, c, rng=None, train=False):
+        rngs = None
+        if train and rng is not None and getattr(self.args, "use_dropout", False):
+            rngs = {"dropout": rng}
+        return self._apply(
+            "decoder", params, None, z_c, z, c, deterministic=not train, rngs=rngs
+        )
+
+    def discriminate(self, params, extra, name, img):
+        return self._apply(name, params, extra, img)
+
+    def get_z_random(self, rng, batch_size):
+        return jax.random.normal(rng, (batch_size, self.latent_dim), jnp.float32)
+
+    # ------------------------------------------------------------------ #
+    # loss pieces
+    # ------------------------------------------------------------------ #
+    def _d_loss(self, d_name, d_params, params, extra, real, fake, c_org):
+        """Discriminator loss (reference backward_discriminator
+        base_model.py:226-248 / backward_multi_scale_discriminator :207-224)."""
+        a = self.args
+        mode = a.gan_mode
+        p = {**params, d_name: d_params}
+        if getattr(a, "ms_dis", False):
+            outs_fake = self.discriminate(p, extra, d_name, fake)
+            outs_real = self.discriminate(p, extra, d_name, real)
+            adv = sum(
+                L.gan_loss(of[0], False, mode) + L.gan_loss(orr[0], True, mode)
+                for of, orr in zip(outs_fake, outs_real)
+            )
+            cls = sum(L.bce_logits_loss(orr[1], c_org) for orr in outs_real)
+        else:
+            pred_fake, _ = self.discriminate(p, extra, d_name, fake)
+            pred_real, pred_real_cls = self.discriminate(p, extra, d_name, real)
+            if getattr(a, "use_ragan", False):
+                adv = L.ragan_loss(pred_real, pred_fake, True, mode)
+            elif "hinge" in mode:
+                adv = L.hinge_d_loss(pred_real, pred_fake)
+            else:
+                adv = L.gan_loss(pred_fake, False, mode) + L.gan_loss(pred_real, True, mode)
+            cls = L.bce_logits_loss(pred_real_cls, c_org)
+        total = adv + a.lambda_cls * cls
+        return total, {"d_adv": adv, "d_cls": cls, "d_total": total}
+
+    def _g_adv_loss(self, params, extra, real, fake, c_org, d_fake, d_real=None):
+        """Generator adversarial + classification terms
+        (reference base_model.py:309-332 phase 1; :386-409 phase 2 with its
+        discriminator selection quirks preserved via d_fake/d_real)."""
+        a = self.args
+        mode = a.gan_mode
+        d_real = d_real or d_fake
+        if getattr(a, "ms_dis", False):
+            outs = self.discriminate(params, extra, d_fake, fake)
+            adv = sum(L.gan_loss(o[0], True, mode) for o in outs)
+            cls = sum(L.bce_logits_loss(o[1], c_org) for o in outs) * a.lambda_cls_G
+        elif getattr(a, "use_ragan", False):
+            pred_real, _ = self.discriminate(params, extra, d_real, real)
+            pred_fake, pred_fake_cls = self.discriminate(params, extra, d_fake, fake)
+            adv = L.ragan_loss(pred_real, pred_fake, False, mode)
+            cls = L.bce_logits_loss(pred_fake_cls, c_org) * a.lambda_cls_G
+        elif "hinge" in mode:
+            pred_fake, pred_fake_cls = self.discriminate(params, extra, d_fake, fake)
+            adv = L.hinge_g_loss(pred_fake)
+            cls = L.bce_logits_loss(pred_fake_cls, c_org) * a.lambda_cls_G
+        else:
+            pred_fake, pred_fake_cls = self.discriminate(params, extra, d_fake, fake)
+            adv = L.gan_loss(pred_fake, True, mode)
+            cls = L.bce_logits_loss(pred_fake_cls, c_org) * a.lambda_cls_G
+        return adv, cls
+
+    def _perceptual_loss(self, aux_params, x, y):
+        return self.perceptual.apply({"params": aux_params}, x, y)
+
+    # ------------------------------------------------------------------ #
+    # train steps
+    # ------------------------------------------------------------------ #
+    def _main_step_impl(self, state: TrainState, batch, rng, aux_params):
+        a = self.args
+        img = jnp.concatenate([batch["x1"], batch["x2"]], axis=0)
+        c_org = jnp.concatenate([batch["y1"], batch["y2"]], axis=0).astype(jnp.float32)
+        b = batch["x1"].shape[0]
+        cls_a, cls_b = c_org[:b], c_org[b:]
+        lr = self.schedule(state.step)
+        params = dict(state.params)
+        opt_state = dict(state.opt_state)
+        extra = dict(state.extra)
+        logs: Dict[str, jnp.ndarray] = {}
+        ks = list(jax.random.split(rng, 14))
+
+        # ------------------- D phase (base_model.py:168-205) ------------- #
+        z_c = self.encode_content(params, extra, img, ks[0], train=True)
+        z_s, _, _ = self.encode_style(params, img, c_org, ks[1], train=True)
+        z_sr = self.get_z_random(ks[2], b)
+        z_ca, z_cb = z_c[:b], z_c[b:]
+        z_sa, z_sb = z_s[:b], z_s[b:]
+        content = jnp.concatenate([z_cb, z_cb, z_ca, z_ca], axis=0)
+        style = jnp.concatenate([z_sa, z_sr, z_sb, z_sr], axis=0).astype(z_s.dtype)
+        trg = jnp.concatenate([cls_a, cls_a, cls_b, cls_b], axis=0)
+        fakes = self.decode(params, content, style, trg, ks[3], train=True)
+        img_ba, img_br, img_ab, img_ar = jnp.split(fakes, 4, axis=0)
+        img_fake = jax.lax.stop_gradient(jnp.concatenate([img_ba, img_ab], axis=0))
+        img_random = jax.lax.stop_gradient(jnp.concatenate([img_br, img_ar], axis=0))
+
+        for d_name, fake, prefix in (
+            ("discriminator1", img_fake, "d1"),
+            ("discriminator2", img_random, "d2"),
+        ):
+            (d_total, d_logs), grads = jax.value_and_grad(self._d_loss, argnums=1, has_aux=True)(
+                d_name, params[d_name], params, extra, img, fake, c_org
+            )
+            params[d_name], opt_state[d_name] = apply_updates(
+                self.tx[d_name], grads, opt_state[d_name], params[d_name], lr
+            )
+            logs.update({f"{prefix}_{k}": v for k, v in d_logs.items()})
+            logs.update(d_logs)  # reference keys: last write (d2) wins
+
+        # refresh spectral-norm power iteration vectors once per step
+        if getattr(a, "dis_sn", False):
+            for d_name in ("discriminator1", "discriminator2"):
+                _, mut = self.nets[d_name].apply(
+                    {"params": params[d_name], "spectral": extra[d_name]},
+                    img,
+                    mutable=["spectral"],
+                )
+                extra[d_name] = mut["spectral"]
+
+        # ------------------- G phase 1 (base_model.py:266-366) ----------- #
+        def g1_loss(gparams):
+            p = {**params, **gparams}
+            g_logs = {}
+            z_c = self.encode_content(p, extra, img, ks[4], train=True)
+            z_s, mu, logvar = self.encode_style(p, img, c_org, ks[5], train=True)
+            z_ca, z_cb = z_c[:b], z_c[b:]
+            z_sa, z_sb = z_s[:b], z_s[b:]
+            content = jnp.concatenate([z_cb, z_ca, z_ca, z_cb], axis=0)
+            style = jnp.concatenate([z_sa, z_sa, z_sb, z_sb], axis=0)
+            trg = jnp.concatenate([cls_a, cls_a, cls_b, cls_b], axis=0)
+            fakes = self.decode(p, content, style, trg, ks[6], train=True)
+            img_ba, img_aa, img_ab, img_bb = jnp.split(fakes, 4, axis=0)
+            img_fake = jnp.concatenate([img_ba, img_ab], axis=0)
+            img_self = jnp.concatenate([img_aa, img_bb], axis=0)
+            # cycle: re-encode and reconstruct (base_model.py:291-304)
+            z_c_rec = self.encode_content(p, extra, img_fake, ks[7], train=True)
+            z_c_rec_b, z_c_rec_a = z_c_rec[:b], z_c_rec[b:]
+            z_s_rec, _, _ = self.encode_style(p, img_fake, c_org, ks[8], train=True)
+            z_s_rec_a, z_s_rec_b = z_s_rec[:b], z_s_rec[b:]
+            img_recon = self.decode(
+                p,
+                jnp.concatenate([z_c_rec_a, z_c_rec_b], axis=0),
+                jnp.concatenate([z_s_rec_a, z_s_rec_b], axis=0),
+                c_org,
+                ks[9],
+                train=True,
+            )
+            adv, cls = self._g_adv_loss(p, extra, img, img_fake, c_org, "discriminator1")
+            loss_self = L.l1_loss(img, img_self) * a.lambda_rec
+            loss_cc = L.l1_loss(img, img_recon) * a.lambda_rec
+            loss_kl_zc = L.l2_regularize(z_c) * 0.01
+            if self.reparam:
+                loss_kl_zs = L.kl_divergence(mu, logvar) * 0.01
+            else:
+                loss_kl_zs = L.l2_regularize(z_s) * 0.01
+            total = adv + cls + loss_self + loss_cc + loss_kl_zc + loss_kl_zs
+            if getattr(a, "use_dis_content", False):
+                pred = self.discriminate(p, extra, "content_discriminator", z_c)
+                loss_content = L.bce_logits_loss(pred, 1.0 - c_org)
+                total = total + loss_content
+                g_logs["g_content"] = loss_content
+            if self.perceptual is not None:
+                img_fake_p = jnp.concatenate([img_ab, img_ba], axis=0)
+                g_p = self._perceptual_loss(aux_params, img, img_fake_p) * a.lambda_perceptual
+                total = total + g_p
+                g_logs["g_p"] = g_p
+            g_logs.update(
+                g_adv=adv, g_cls=cls, kl_zc=loss_kl_zc, kl_zs=loss_kl_zs,
+                l1_self_rec=loss_self, l1_cc_rec=loss_cc, total_g=total,
+            )
+            return total, g_logs
+
+        gp = {k: params[k] for k in GEN_NETS}
+        (_, g_logs), grads = jax.value_and_grad(g1_loss, has_aux=True)(gp)
+        for k in GEN_NETS:
+            params[k], opt_state[k] = apply_updates(
+                self.tx[k], grads[k], opt_state[k], params[k], lr
+            )
+        logs.update(g_logs)
+
+        # ------------------- G phase 2 (base_model.py:373-434) ----------- #
+        def g2_loss(gparams):
+            p = {**params, **gparams}
+            g_logs = {}
+            z_c = self.encode_content(p, extra, img, ks[10], train=True)
+            z_ca, z_cb = z_c[:b], z_c[b:]
+            z_sr2 = self.get_z_random(ks[11], b)
+            content = jnp.concatenate([z_cb, z_ca], axis=0)
+            style = jnp.concatenate([z_sr2, z_sr2], axis=0)
+            img_random = self.decode(p, content, style, c_org, ks[12], train=True)
+            img_br, img_ar = img_random[:b], img_random[b:]
+            # discriminator selection quirks (base_model.py:386-409)
+            if getattr(a, "ms_dis", False):
+                adv2, cls2 = self._g_adv_loss(
+                    p, extra, img, img_random, c_org, "discriminator1"
+                )
+            elif getattr(a, "use_ragan", False):
+                adv2, cls2 = self._g_adv_loss(
+                    p, extra, img, img_random, c_org, "discriminator1", "discriminator2"
+                )
+            else:
+                adv2, cls2 = self._g_adv_loss(
+                    p, extra, img, img_random, c_org, "discriminator2"
+                )
+            # latent regression (base_model.py:410-421)
+            z_rec, mu2, _ = self.encode_style(p, img_random, c_org, ks[13], train=True)
+            reg_target = mu2 if self.reparam else z_rec
+            loss_z_a = L.l1_loss(reg_target[:b], z_sr2)
+            loss_z_b = L.l1_loss(reg_target[b:], z_sr2)
+            loss_z_l1 = (loss_z_a + loss_z_b) * 10.0
+            total = loss_z_l1 + adv2 + cls2
+            if self.perceptual is not None:
+                img_random_p = jnp.concatenate([img_ar, img_br], axis=0)
+                g_p2 = self._perceptual_loss(aux_params, img, img_random_p) * a.lambda_perceptual
+                total = total + g_p2
+                g_logs["g_p2"] = g_p2
+            g_logs.update(l1_recon_z=loss_z_l1, gan2=adv2, gan2_cls=cls2)
+            return total, g_logs
+
+        gp2 = {k: params[k] for k in ("content_encoder", "decoder")}
+        (_, g2_logs), grads2 = jax.value_and_grad(g2_loss, has_aux=True)(gp2)
+        for k in ("content_encoder", "decoder"):
+            params[k], opt_state[k] = apply_updates(
+                self.tx[k], grads2[k], opt_state[k], params[k], lr
+            )
+        logs.update(g2_logs)
+        logs["lr"] = lr
+
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state, extra=extra
+        )
+        return new_state, logs
+
+    def _content_step_impl(self, state: TrainState, batch, rng):
+        """Content-discriminator-only iteration
+        (reference update_content_discriminator, base_model.py:158-166)."""
+        a = self.args
+        img = jnp.concatenate([batch["x1"], batch["x2"]], axis=0)
+        c_org = jnp.concatenate([batch["y1"], batch["y2"]], axis=0).astype(jnp.float32)
+        lr = self.schedule(state.step) / 2.5
+        params = dict(state.params)
+        opt_state = dict(state.opt_state)
+        k0, _ = jax.random.split(rng)
+        z_c = jax.lax.stop_gradient(
+            self.encode_content(params, state.extra, img, k0, train=True)
+        )
+
+        def loss_fn(p):
+            pred = self.nets["content_discriminator"].apply({"params": p}, z_c)
+            return L.bce_logits_loss(pred, c_org)
+
+        loss_dc, grads = jax.value_and_grad(loss_fn)(params["content_discriminator"])
+        params["content_discriminator"], opt_state["content_discriminator"] = apply_updates(
+            self.tx["content_discriminator"],
+            grads,
+            opt_state["content_discriminator"],
+            params["content_discriminator"],
+            lr,
+        )
+        new_state = TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state, extra=state.extra
+        )
+        return new_state, {"d_content_cls": loss_dc}
+
+    def optimize_parameters(self, state: TrainState, batch, global_iter: int, rng):
+        """Dispatch one iteration (reference optimize_parameters,
+        base_model.py:461-470). ``global_iter`` is a Python int, so the branch
+        is static — two compiled step functions, no lax.cond."""
+        a = self.args
+        if getattr(a, "use_dis_content", False) and global_iter % a.d_iter != 0:
+            state, logs = self._content_step(state, batch, rng)
+        else:
+            state, logs = self._main_step(state, batch, rng, self.perceptual_params)
+        # keep device arrays: no host sync in the hot loop (unlike the
+        # reference's per-loss .item() calls); float() happens at print_freq.
+        self.loss = logs
+        return state, logs
+
+    # ------------------------------------------------------------------ #
+    # inference (reference base_model.py:112-156)
+    # ------------------------------------------------------------------ #
+    def _forward_random_impl(self, params, img, z_r, c_trg):
+        z_c = self.encode_content(params, None, img, train=False)
+        return self.decode(params, z_c, z_r, c_trg, train=False)
+
+    def _forward_reference_impl(self, params, img_src, img_ref, c_trg, rng):
+        z_c = self.encode_content(params, None, img_src, train=False)
+        z_s, _, _ = self.encode_style(params, img_ref, c_trg, rng, train=False, sample=True)
+        return self.decode(params, z_c, z_s, c_trg, train=False)
+
+    def forward_random(self, state, img, z_r, c_trg):
+        """Translate with a random style code; returns (images, seconds, device_mem_GB)
+        — timing parity with base_model.py:112-117."""
+        import time
+
+        params = state.params if isinstance(state, TrainState) else state
+        start = time.perf_counter()
+        out = self._forward_random_jit(params, img, z_r, c_trg)
+        out.block_until_ready()
+        dt = time.perf_counter() - start
+        return out, dt, _device_memory_gb()
+
+    def forward_reference(self, state, img_src, img_ref, c_trg, rng=None):
+        """Translate using a reference image's style (base_model.py:119-128)."""
+        import time
+
+        params = state.params if isinstance(state, TrainState) else state
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        start = time.perf_counter()
+        out = self._forward_reference_jit(params, img_src, img_ref, c_trg, rng)
+        out.block_until_ready()
+        dt = time.perf_counter() - start
+        return out, dt, _device_memory_gb()
+
+    def _forward_impl(self, params, img, c_org, rng):
+        """(img_fake, img_random, img_self) triple (base_model.py:130-156)."""
+        b = img.shape[0] // 2
+        k1, k2 = jax.random.split(rng)
+        z_c = self.encode_content(params, None, img, train=False)
+        z_s, _, _ = self.encode_style(params, img, c_org, k1, train=False, sample=True)
+        z_sr = self.get_z_random(k2, b)
+        z_ca, z_cb = z_c[:b], z_c[b:]
+        z_sa, z_sb = z_s[:b], z_s[b:]
+        cls_a, cls_b = c_org[:b], c_org[b:]
+        content = jnp.concatenate([z_cb, z_ca, z_cb, z_ca, z_cb, z_ca], axis=0)
+        style = jnp.concatenate([z_sa, z_sa, z_sr, z_sb, z_sb, z_sr], axis=0).astype(z_s.dtype)
+        trg = jnp.concatenate([cls_a, cls_a, cls_a, cls_b, cls_b, cls_b], axis=0)
+        fakes = self.decode(params, content, style, trg, train=False)
+        img_ba, img_aa, img_br, img_ab, img_bb, img_ar = jnp.split(fakes, 6, axis=0)
+        img_fake = jnp.concatenate([img_ba, img_ab], axis=0)
+        img_random = jnp.concatenate([img_br, img_ar], axis=0)
+        img_self = jnp.concatenate([img_aa, img_bb], axis=0)
+        return img_fake, img_random, img_self
+
+    def forward(self, state, img, c_org, rng=None):
+        params = state.params if isinstance(state, TrainState) else state
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        return self._forward_jit(params, img, c_org, rng)
+
+    def compute_visuals(self, state: TrainState, batch, rng=None):
+        """2x4 grid: [real | translated | random-style | self-recon] per
+        direction (reference compute_visuals, base_model.py:441-456)."""
+        img = jnp.concatenate([batch["x1"], batch["x2"]], axis=0)
+        c_org = jnp.concatenate([batch["y1"], batch["y2"]], axis=0).astype(jnp.float32)
+        b = batch["x1"].shape[0]
+        img_fake, img_random, img_self = self.forward(state, img, c_org, rng)
+        row1 = jnp.concatenate(
+            [img[0:1], img_fake[b : b + 1], img_random[b : b + 1], img_self[0:1]], axis=2
+        )
+        row2 = jnp.concatenate(
+            [img[b : b + 1], img_fake[0:1], img_random[0:1], img_self[b : b + 1]], axis=2
+        )
+        return jnp.concatenate([row1, row2], axis=1)[0]
+
+
+def _device_memory_gb() -> float:
+    """Device memory in use (parity with torch.cuda.memory_reserved reporting,
+    base_model.py:117)."""
+    try:
+        stats = jax.local_devices()[0].memory_stats()
+        return stats.get("bytes_in_use", 0) / (1024**3)
+    except Exception:
+        return 0.0

@@ -1,0 +1,136 @@
+"""Normalization ops for NHWC feature maps.
+
+Semantics mirror the reference's norm layers (reference src/models/core/norm.py:5-33
+and functions.py:11-26) re-expressed as pure JAX functions + thin Flax modules:
+
+- ``instance_norm``: per-sample, per-channel over (H, W); eps 1e-5, no affine
+  (torch ``InstanceNorm2d(affine=False, track_running_stats=False)``).
+- ``layer_norm``: per-sample over (H, W, C) with per-channel affine
+  (the reference's custom LayerNorm, norm.py:5-21).
+- ``adain``: instance norm modulated by a style-predicted ``(1+gamma, beta)``
+  (norm.py:23-33).
+
+All stats are computed in float32 regardless of input dtype (bf16-safe) and the
+result is cast back — on TPU the normalization fuses into neighbouring convs.
+"""
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+from masterthesis_tpu.ops.initializers import (
+    torch_linear_bias_init,
+    torch_linear_kernel_init,
+)
+
+Dtype = Any
+
+
+def _moments(x: jnp.ndarray, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
+    # centered (two-pass) variance: E[(x-mean)^2]. The one-pass E[x^2]-mean^2
+    # form cancels catastrophically in f32 for near-constant inputs (variance
+    # can come out below -eps -> rsqrt(NaN)); XLA fuses both passes anyway.
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+    return mean, var
+
+
+def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Per-sample per-channel normalization over spatial dims of NHWC input."""
+    mean, var = _moments(x, axes=(1, 2))
+    y = (x.astype(jnp.float32) - mean) * jax_rsqrt(var + eps)
+    return y.astype(x.dtype)
+
+
+def layer_norm(
+    x: jnp.ndarray,
+    scale: jnp.ndarray | None = None,
+    bias: jnp.ndarray | None = None,
+    eps: float = 1e-5,
+) -> jnp.ndarray:
+    """Per-sample normalization over (H, W, C) with per-channel affine."""
+    mean, var = _moments(x, axes=(1, 2, 3))
+    y = (x.astype(jnp.float32) - mean) * jax_rsqrt(var + eps)
+    if scale is not None:
+        y = y * scale.astype(jnp.float32)
+    if bias is not None:
+        y = y + bias.astype(jnp.float32)
+    return y.astype(x.dtype)
+
+
+def adain(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
+    """Adaptive instance norm: ``(1 + gamma) * IN(x) + beta``.
+
+    ``gamma``/``beta`` have shape (N, C) and broadcast over H, W.
+    """
+    mean, var = _moments(x, axes=(1, 2))
+    y = (x.astype(jnp.float32) - mean) * jax_rsqrt(var + eps)
+    y = (1.0 + gamma.astype(jnp.float32))[:, None, None, :] * y
+    y = y + beta.astype(jnp.float32)[:, None, None, :]
+    return y.astype(x.dtype)
+
+
+def jax_rsqrt(x):
+    import jax
+
+    return jax.lax.rsqrt(x)
+
+
+class InstanceNorm(nn.Module):
+    """Parameter-free instance normalization (NHWC)."""
+
+    eps: float = 1e-5
+
+    @nn.compact
+    def __call__(self, x):
+        return instance_norm(x, eps=self.eps)
+
+
+class LayerNorm(nn.Module):
+    """Reference-style LayerNorm: normalize over (H, W, C), per-channel affine."""
+
+    affine: bool = True
+    eps: float = 1e-5
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x):
+        scale = bias = None
+        if self.affine:
+            c = x.shape[-1]
+            scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
+            bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
+        return layer_norm(x, scale, bias, eps=self.eps)
+
+
+class AdaptiveInstanceNorm(nn.Module):
+    """AdaIN with a style->(gamma, beta) projection (reference norm.py:23-33).
+
+    Calling the same module instance twice (as in AdaINResnetBlock,
+    blocks.py:158-164) shares the projection parameters.
+    """
+
+    num_features: int
+    eps: float = 1e-5
+    dtype: Dtype = jnp.float32
+    param_dtype: Dtype = jnp.float32
+
+    @nn.compact
+    def __call__(self, x, s):
+        h = nn.Dense(
+            2 * self.num_features,
+            kernel_init=torch_linear_kernel_init,
+            bias_init=torch_linear_bias_init,
+            dtype=self.dtype,
+            param_dtype=self.param_dtype,
+            name="style_proj",
+        )(s)
+        gamma, beta = jnp.split(h, 2, axis=-1)
+        # Pallas single-pass fused kernel on TPU; jnp fallback elsewhere
+        # (both share the same custom VJP).
+        from masterthesis_tpu.ops.pallas.adain import fused_adain
+
+        return fused_adain(x, gamma, beta, self.eps)

@@ -1,0 +1,129 @@
+"""Pallas TPU kernel: fused adaptive instance normalization.
+
+The north-star fusion target (BASELINE.json): AdaIN = per-(sample, channel)
+spatial moments + style-conditioned affine, i.e. ``(1+gamma)*(x-mu)*rsqrt(var
++eps) + beta``. Done naively this is 3 passes over the feature map in HBM
+(moments, normalize, affine). This kernel does ONE pass per image: the (H, W,
+C) block is DMA'd to VMEM once, moments are VPU reductions over the sublane
+axes, and the normalize+modulate epilogue happens in-register before the
+single write-back — HBM traffic drops from ~3x to ~1x of the tensor size.
+
+Layout: NHWC with C on the 128-lane minor dimension (C=256 in the flagship
+decoder = 2 lanes-groups, H*W on sublanes). Grid is (N,): one program per
+sample, whole image resident in VMEM (64x64x256 bf16 = 2 MB << 16 MB).
+
+The backward pass is plain jnp (XLA fuses it into the surrounding conv
+gradients); residuals are (x, gamma, mean, rstd).
+
+Falls back to the jnp implementation off-TPU (CPU tests) via
+``pallas_available()``.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from masterthesis_tpu.ops.norms import adain as _adain_reference
+
+
+def pallas_available() -> bool:
+    import os
+
+    if os.environ.get("MT_DISABLE_PALLAS") == "1":
+        return False
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
+def _adain_fwd_kernel(x_ref, gamma_ref, beta_ref, o_ref, *, eps: float):
+    import jax.numpy as jnp
+
+    x = x_ref[0].astype(jnp.float32)  # (H, W, C)
+    h, w, c = x.shape
+    inv_n = 1.0 / (h * w)
+    mean = jnp.sum(x, axis=(0, 1), keepdims=True) * inv_n
+    # centered variance (cancellation-safe); both passes stay in VMEM
+    var = jnp.sum(jnp.square(x - mean), axis=(0, 1), keepdims=True) * inv_n
+    rstd = jax.lax.rsqrt(var + eps)
+    gamma = gamma_ref[0, 0].astype(jnp.float32)  # (C,)
+    beta = beta_ref[0, 0].astype(jnp.float32)
+    scale = (1.0 + gamma)[None, None, :] * rstd
+    shift = beta[None, None, :] - mean * scale
+    o_ref[0] = (x * scale + shift).astype(o_ref.dtype)
+
+
+def _pallas_adain_fwd(x, gamma, beta, eps):
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    n, h, w, c = x.shape
+    # style params as (N, 1, C): the per-program block (1, 1, C) then matches
+    # the array's last-two dims exactly (Mosaic tiling requirement) and avoids
+    # dynamic sublane indexing.
+    gamma3 = gamma.reshape(n, 1, c)
+    beta3 = beta.reshape(n, 1, c)
+    kernel = functools.partial(_adain_fwd_kernel, eps=eps)
+    return pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct(x.shape, x.dtype),
+        grid=(n,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        cost_estimate=pl.CostEstimate(
+            flops=8 * n * h * w * c,
+            bytes_accessed=2 * x.size * x.dtype.itemsize,
+            transcendentals=n * c,  # rsqrt
+        ),
+    )(x, gamma3, beta3)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def fused_adain(x, gamma, beta, eps: float = 1e-5):
+    """``(1+gamma)*IN(x) + beta`` — Pallas on TPU, jnp elsewhere.
+
+    x: (N, H, W, C); gamma/beta: (N, C).
+    """
+    if pallas_available():
+        return _pallas_adain_fwd(x, gamma, beta, eps)
+    return _adain_reference(x, gamma, beta, eps)
+
+
+def _moments(x, eps):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)  # centered
+    rstd = jax.lax.rsqrt(var + eps)
+    return mean, rstd
+
+
+def _fused_adain_fwd(x, gamma, beta, eps):
+    out = fused_adain(x, gamma, beta, eps)
+    mean, rstd = _moments(x, eps)
+    return out, (x, gamma, mean, rstd)
+
+
+def _fused_adain_bwd(eps, residuals, g):
+    x, gamma, mean, rstd = residuals
+    g32 = g.astype(jnp.float32)
+    x_hat = (x.astype(jnp.float32) - mean) * rstd
+    # d beta / d gamma reduce over spatial dims
+    d_beta = jnp.sum(g32, axis=(1, 2))
+    d_gamma = jnp.sum(g32 * x_hat, axis=(1, 2))
+    # dx through the normalization (per sample-channel statistics)
+    scale = (1.0 + gamma.astype(jnp.float32))[:, None, None, :] * rstd
+    g_mean = jnp.mean(g32, axis=(1, 2), keepdims=True)
+    gx_mean = jnp.mean(g32 * x_hat, axis=(1, 2), keepdims=True)
+    dx = scale * (g32 - g_mean - x_hat * gx_mean)
+    return dx.astype(x.dtype), d_gamma.astype(gamma.dtype), d_beta.astype(gamma.dtype)
+
+
+fused_adain.defvjp(_fused_adain_fwd, _fused_adain_bwd)

@@ -1,0 +1,6 @@
+from masterthesis_tpu.parallel.mesh import (  # noqa: F401
+    data_sharding,
+    make_mesh,
+    replicate,
+    replicated_sharding,
+)

@@ -1,0 +1,87 @@
+"""Training driver.
+
+Parity with reference src/train.py:7-72 (Trainer.load_dataset/create_model/
+train/run) with the TPU-native loop: the model's jitted step functions do all
+device work; the trainer shards each host batch over the data mesh, folds the
+iteration into the RNG, and handles print/save/display cadence.
+
+Run: ``python -m masterthesis_tpu.train --dataroot ... --model AdaINModel ...``
+"""
+from __future__ import annotations
+
+import jax
+
+from masterthesis_tpu.arguments import TrainArguments
+from masterthesis_tpu.data.loader import DataLoader, infinite, shard_batch
+from masterthesis_tpu.parallel.mesh import make_mesh, replicate
+from masterthesis_tpu.utils import TimerBlock
+
+
+class Trainer:
+    """class used for training (reference train.py:7-67)."""
+
+    def load_dataset(self, args):
+        with TimerBlock("Loading Dataset and creating dataloaders") as block:
+            block.log("Create dataset object")
+            dataset = args.dataset(args)
+            block.log("Create dataloader")
+            dataloader = DataLoader(
+                dataset,
+                batch_size=args.batch_size,
+                shuffle=getattr(args, "shuffle", False),
+                num_workers=args.num_workers,
+                drop_last=True,
+            )
+        return dataloader
+
+    def create_model(self, args):
+        with TimerBlock("Creating model") as block:
+            model = args.model(args)
+            block.log("Initialize model")
+            state = model.initialize()
+            if getattr(args, "vgg_loss", None) is not None:
+                block.log("Initialize perceptual loss")
+                model.init_perceptual(weights_path=getattr(args, "vgg_weights", None))
+        return model, state
+
+    def train(self, args, model, state, dataloader, mesh=None):
+        with TimerBlock("Training model") as block:
+            global_iter = args.last_iter + 1 if args.resume_opt is not None else 0
+            iterations = min(args.n_iters, args.max_iter)
+            block.log(f"Running for {iterations} iterations")
+            base_rng = jax.random.PRNGKey(getattr(args, "seed", 0))
+            if mesh is not None:
+                state = replicate(state, mesh)
+            for batch in infinite(dataloader):
+                batch = shard_batch(batch, mesh)
+                rng = jax.random.fold_in(base_rng, global_iter)
+                state, _ = model.optimize_parameters(state, batch, global_iter, rng)
+                if global_iter % args.print_freq == 0:
+                    block.log("\n")
+                    block.log(f"Iteration: {global_iter}, LR : {model.get_current_lr(state)}")
+                    model.write_loss(global_iter)
+                    block.log(model.print_losses())
+                if global_iter % args.save_freq == 0:
+                    block.log(f"Saving model inside : {args.checkpoint_dir}")
+                    model.save(state, global_iter)
+                if global_iter % args.display_freq == 0 and global_iter % args.d_iter == 0:
+                    block.log("Writing images")
+                    model.save_images(state, batch, global_iter, rng)
+                global_iter += 1
+                if global_iter > iterations:
+                    block.log(f"Saving model inside : {args.checkpoint_dir}")
+                    model.save(state, global_iter)
+                    block.log("Finished training")
+                    return state
+
+    def run(self, args):
+        mesh = make_mesh(getattr(args, "num_devices", None))
+        dataloader = self.load_dataset(args)
+        model, state = self.create_model(args)
+        return self.train(args, model, state, dataloader, mesh)
+
+
+if __name__ == "__main__":
+    args = TrainArguments().parse()
+    trainer = Trainer()
+    trainer.run(args)

@@ -1,0 +1,101 @@
+"""End-to-end CLI/driver integration: Trainer over synthetic data, argument
+parsing, checkpoint/resume through the Trainer, Sampler output files."""
+import os
+
+import numpy as np
+
+from masterthesis_tpu.arguments import TrainArguments, default_test_args
+from masterthesis_tpu.train import Trainer
+
+from conftest import make_image_tree, tiny_train_args
+
+
+def test_train_arguments_parse_and_dirs(tmp_path, monkeypatch):
+    argv = [
+        "--dataroot", str(tmp_path / "data"),
+        "--exp_dir", str(tmp_path / "exps"),
+        "--name", "exp1",
+        "--model", "AdaINModel",
+        "--dataset", "PairedDataset",
+        "--batch_size", "2",
+        "--num_domains", "4",
+    ]
+    args = TrainArguments().parse(argv)
+    from masterthesis_tpu.data import PairedDataset
+    from masterthesis_tpu.models import AdaINModel
+
+    assert args.model is AdaINModel
+    assert args.dataset is PairedDataset
+    assert os.path.isdir(args.checkpoint_dir)
+    assert os.path.isdir(args.logdir)
+    assert os.path.isdir(args.display_dir)
+    assert os.path.exists(os.path.join(args.exp_dir, "args.txt"))
+    assert isinstance(args.beta2, float)  # reference quirk fixed
+
+
+def test_trainer_end_to_end(tmp_path):
+    """3 iterations of the flagship config shape (AdaINModel + PairedDataset)
+    on synthetic data: losses logged, ckpt + image grid written."""
+    from masterthesis_tpu.data import PairedDataset
+    from masterthesis_tpu.models import AdaINModel
+
+    make_image_tree(tmp_path / "data", num_domains=4, per_domain=2)
+    args = tiny_train_args(
+        dataroot=str(tmp_path / "data"),
+        dataset=PairedDataset,
+        model=AdaINModel,
+        use_dis_content=True,
+        num_workers=0,
+        n_iters=2,
+        max_iter=2,
+        print_freq=1,
+        save_freq=2,
+        display_freq=3,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        display_dir=str(tmp_path / "images"),
+        logdir=None,
+        resume=None,
+        resume_opt=None,
+        shuffle=False,
+    )
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+    os.makedirs(args.display_dir, exist_ok=True)
+    trainer = Trainer()
+    dataloader = trainer.load_dataset(args)
+    model, state = trainer.create_model(args)
+    state = trainer.train(args, model, state, dataloader, mesh=None)
+    assert int(state.step) == 3
+    assert os.path.exists(os.path.join(args.checkpoint_dir, "model_0.ckpt"))
+    assert os.path.exists(os.path.join(args.checkpoint_dir, "model_3.ckpt"))
+    assert os.path.exists(os.path.join(args.display_dir, "gen_0.jpg"))
+
+
+def test_sampler_writes_translations(tmp_path):
+    from masterthesis_tpu.models import AdaINModel
+    from masterthesis_tpu.sample import Sampler
+
+    make_image_tree(tmp_path / "data", num_domains=2, per_domain=1, mode="imgs", size=40)
+    args = default_test_args(
+        dataroot=str(tmp_path / "data" / "imgs"),
+        model=AdaINModel,
+        batch_size=1,
+        num_domains=4,
+        latent_dim=4,
+        dim=8,
+        crop_size=32,
+        num_workers=0,
+        display_dir=str(tmp_path / "out"),
+        result_dir=str(tmp_path / "out"),
+    )
+    sampler = Sampler()
+    # small eval transform so the tiny model runs fast
+    from masterthesis_tpu.data.transforms import EvalTransform
+
+    sampler.transforms = EvalTransform(size=(32, 32))
+    model, state = sampler.load_model(args)
+    dataloader = sampler.load_dataset(args)
+    sampler.sample(args, model, state, dataloader, trgs=[1])
+    outs = []
+    for root, _, files in os.walk(str(tmp_path / "out")):
+        outs += [os.path.join(root, f) for f in files]
+    assert any(f.endswith(".jpg") for f in outs)

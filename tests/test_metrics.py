@@ -1,0 +1,80 @@
+"""Metric tests: streaming FID math against a direct computation, LPIPS
+behavior, Inception plumbing (SURVEY.md §4 plan item f)."""
+import numpy as np
+import pytest
+
+from masterthesis_tpu.metrics import FID, fid_score
+from masterthesis_tpu.metrics.lpips import make_lpips_fn
+
+
+def _direct_fid(f1, f2):
+    mu1, mu2 = f1.mean(0), f2.mean(0)
+    s1 = np.cov(f1, rowvar=False)
+    s2 = np.cov(f2, rowvar=False)
+    return fid_score(mu1, mu2, s1, s2)
+
+
+def test_fid_identical_distributions_zero():
+    rng = np.random.default_rng(0)
+    f = rng.normal(size=(200, 8)).astype(np.float32)
+    assert abs(_direct_fid(f, f.copy())) < 1e-6
+
+
+def test_streaming_fid_matches_direct():
+    """Online mean/outer-product accumulation == batch covariance formula."""
+    rng = np.random.default_rng(1)
+    f1 = rng.normal(size=(64, 8)).astype(np.float32)
+    f2 = rng.normal(loc=0.5, size=(64, 8)).astype(np.float32)
+    fid = FID(num_features=8, feature_extractor=lambda x: x)
+    for i in range(0, 64, 16):
+        fid.update((f1[i : i + 16], f2[i : i + 16]))
+    streaming = fid.compute()
+    direct = _direct_fid(f1, f2)
+    assert abs(streaming - direct) < 1e-3
+
+
+def test_fid_shifted_distribution_positive():
+    rng = np.random.default_rng(2)
+    f1 = rng.normal(size=(128, 4))
+    f2 = rng.normal(loc=2.0, size=(128, 4))
+    d = _direct_fid(f1, f2)
+    assert d > 3.0  # mean shift of 2 in 4 dims -> FID >= 16 - cov terms
+
+
+def test_fid_shape_mismatch_raises():
+    fid = FID(num_features=4, feature_extractor=lambda x: x)
+    with pytest.raises(ValueError):
+        fid.update((np.zeros((2, 4)), np.zeros((3, 4))))
+
+
+def test_lpips_zero_for_identical_and_positive_otherwise():
+    import warnings
+
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        fn = make_lpips_fn()
+    rng = np.random.default_rng(3)
+    x = rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+    y = rng.uniform(-1, 1, (1, 32, 32, 3)).astype(np.float32)
+    assert abs(float(fn(x, x)[0])) < 1e-6
+    assert float(fn(x, y)[0]) > 0
+
+
+def test_inception_feature_shape():
+    import warnings
+
+    import jax
+
+    from masterthesis_tpu.metrics.inception import InceptionV3
+
+    # run the trunk eagerly at a reduced resolution (no 299 resize) — the
+    # full-size jitted path is exercised on TPU by the FID CLI/bench; here we
+    # verify architecture plumbing cheaply on the 1-core CI host.
+    model = InceptionV3(resize_input=False)
+    x = np.random.default_rng(4).uniform(0, 1, (1, 80, 80, 3)).astype(np.float32)
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        params = model.init(jax.random.PRNGKey(0), x)["params"]
+        feats = np.asarray(model.apply({"params": params}, x))
+    assert feats.shape == (1, 2048)
+    assert np.isfinite(feats).all()
