@@ -21,7 +21,9 @@ def main():
     from masterthesis_tpu.models import AdaINModel
 
     on_tpu = jax.devices()[0].platform == "tpu"
-    batch = 64 if on_tpu else 4
+    # batch 256 amortizes per-call overhead and lifts MXU utilization
+    # (measured: 775 img/s @64, 1168 @128, 1186 @256 on v5e)
+    batch = 256 if on_tpu else 4
     size = 256 if on_tpu else 64
     dtype = "bfloat16" if on_tpu else "float32"
 

@@ -165,14 +165,16 @@ class Conv2d(nn.Module):
         )
         if self.sn:
             kernel = SpectralNorm(name="sn")(kernel)
+        # NOTE: do NOT force preferred_element_type=f32 here — on TPU that
+        # materializes an f32 output + cast and runs ~12x slower than native
+        # bf16-out convs (MXU still accumulates in f32 internally).
         y = jax.lax.conv_general_dilated(
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             window_strides=(self.stride, self.stride),
             padding=((self.padding, self.padding), (self.padding, self.padding)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+        )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
             y = y + bias.astype(self.dtype)
@@ -214,8 +216,7 @@ class ConvTranspose2d(nn.Module):
             strides=(self.stride, self.stride),
             padding=((lo, hi), (lo, hi)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
-            preferred_element_type=jnp.float32,
-        ).astype(self.dtype)
+        )
         if self.use_bias:
             bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
             y = y + bias.astype(self.dtype)

@@ -30,9 +30,17 @@ from masterthesis_tpu.ops.norms import adain as _adain_reference
 
 
 def pallas_available() -> bool:
+    """Whether to route AdaIN through the Pallas kernel.
+
+    Opt-in (``MT_ENABLE_PALLAS=1``): measured on v5e, XLA's own fusion of the
+    jnp AdaIN into the surrounding convs currently edges out this
+    one-image-per-program kernel (7.4 vs 8.9 ms per 256ch 64x64 block at
+    batch 64); the kernel needs multi-image blocking + double buffering to
+    win. Kept for the custom-VJP path and as the fusion baseline.
+    """
     import os
 
-    if os.environ.get("MT_DISABLE_PALLAS") == "1":
+    if os.environ.get("MT_ENABLE_PALLAS") != "1":
         return False
     try:
         return jax.devices()[0].platform == "tpu"
