@@ -134,7 +134,11 @@ class SingleDataset:
         return dataset, sorted(dataset.keys()), domains
 
     def load_image(self, path, dim=3):
-        arr = self.transforms(load_rgb(path), self.rng)
+        # native fused decode path for JPEGs, PIL otherwise
+        if hasattr(self.transforms, "load_file"):
+            arr = self.transforms.load_file(path, self.rng)
+        else:
+            arr = self.transforms(load_rgb(path), self.rng)
         if dim == 1:
             arr = arr[..., 0:1] * 0.299 + arr[..., 1:2] * 0.587 + arr[..., 2:3] * 0.114
         return arr

@@ -51,7 +51,14 @@ def normalize(arr: np.ndarray, mean: float = 0.5, std: float = 0.5) -> np.ndarra
 
 
 class TrainTransform:
-    """Full train/eval pipeline (reference dataset.py:107-116)."""
+    """Full train/eval pipeline (reference dataset.py:107-116).
+
+    ``load_file`` takes a fast path through the native C++ pipeline
+    (masterthesis_tpu.native: fused libjpeg decode with DCT-domain
+    downscaling + antialiased bicubic + crop/flip/normalize, GIL released)
+    for JPEG files; other formats and ``use_native=False`` fall back to PIL.
+    Both paths draw the same crop/flip decisions from ``rng``.
+    """
 
     def __init__(
         self,
@@ -59,24 +66,53 @@ class TrainTransform:
         crop_size: int = 256,
         train: bool = True,
         no_flip: bool = False,
+        use_native: bool = True,
     ):
         self.load_size = load_size
         self.crop_size = crop_size
         self.train = train
         self.no_flip = no_flip
+        self.use_native = use_native
+
+    def _draw(self, rng: np.random.Generator):
+        """Crop origin + flip decision, shared by both backends."""
+        span = self.load_size - self.crop_size
+        if self.train:
+            top = int(rng.integers(0, span + 1))
+            left = int(rng.integers(0, span + 1))
+        else:
+            top = left = span // 2
+        flip = bool(self.train and not self.no_flip and rng.random() < 0.5)
+        return top, left, flip
 
     def __call__(self, img: Image.Image, rng: Optional[np.random.Generator] = None) -> np.ndarray:
         if rng is None:
             rng = np.random.default_rng()
+        top, left, flip = self._draw(rng)
         img = resize(img, (self.load_size, self.load_size))
         arr = to_array(img)
-        if self.train:
-            arr = random_crop(arr, self.crop_size, rng)
-        else:
-            arr = center_crop(arr, self.crop_size)
-        if not self.no_flip and self.train and rng.random() < 0.5:
+        arr = arr[top : top + self.crop_size, left : left + self.crop_size]
+        if flip:
             arr = hflip(arr)
         return np.ascontiguousarray(normalize(arr))
+
+    def load_file(self, path: str, rng: Optional[np.random.Generator] = None) -> np.ndarray:
+        if rng is None:
+            rng = np.random.default_rng()
+        if self.use_native and path.lower().endswith((".jpg", ".jpeg")):
+            from masterthesis_tpu import native
+
+            if native.available():
+                top, left, flip = self._draw(rng)
+                with open(path, "rb") as f:
+                    data = f.read()
+                try:
+                    return native.preprocess_jpeg(
+                        data, self.load_size, self.crop_size, top, left, flip
+                    )
+                except ValueError:
+                    pass  # corrupt/odd jpeg -> PIL fallback
+        return self(load_rgb(path), rng)
 
 
 class EvalTransform:
