@@ -67,6 +67,9 @@ def _add_base_args(parser: argparse.ArgumentParser):
                         choices=["float32", "bfloat16"])
     parser.add_argument("--num_devices", type=int, default=None,
                         help="limit the data-parallel mesh to this many devices")
+    parser.add_argument("--device_preproc", action="store_true",
+                        help="host decodes+resizes to uint8 only; crop/flip/"
+                             "normalize run fused on-device (4x less H2D)")
 
 
 def _add_train_args(parser: argparse.ArgumentParser):

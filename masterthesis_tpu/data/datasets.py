@@ -108,12 +108,19 @@ class SingleDataset:
         )
         self.return_paths = return_paths
         self.size = max(map(len, self.dataset.values()))
-        self.transforms = TrainTransform(
-            load_size=args.load_size,
-            crop_size=args.crop_size,
-            train=args.mode == "train",
-            no_flip=getattr(args, "no_flip", False),
-        )
+        if getattr(args, "device_preproc", False):
+            # host does decode+resize only; crop/flip/normalize run on-device
+            # (data.device_preproc.preprocess_pair_batch in the trainer)
+            from masterthesis_tpu.data.device_preproc import RawResizeTransform
+
+            self.transforms = RawResizeTransform(load_size=args.load_size)
+        else:
+            self.transforms = TrainTransform(
+                load_size=args.load_size,
+                crop_size=args.crop_size,
+                train=args.mode == "train",
+                no_flip=getattr(args, "no_flip", False),
+            )
         self.rng = np.random.default_rng(getattr(args, "seed", 0) if seed is None else seed)
 
     @staticmethod

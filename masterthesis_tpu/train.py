@@ -52,9 +52,18 @@ class Trainer:
             base_rng = jax.random.PRNGKey(getattr(args, "seed", 0))
             if mesh is not None:
                 state = replicate(state, mesh)
+            device_preproc = getattr(args, "device_preproc", False)
             for batch in infinite(dataloader):
                 batch = shard_batch(batch, mesh)
                 rng = jax.random.fold_in(base_rng, global_iter)
+                if device_preproc:
+                    from masterthesis_tpu.data.device_preproc import preprocess_pair_batch
+
+                    rng, k = jax.random.split(rng)
+                    batch = preprocess_pair_batch(
+                        batch, k, args.load_size, args.crop_size,
+                        train=True, no_flip=getattr(args, "no_flip", False),
+                    )
                 state, _ = model.optimize_parameters(state, batch, global_iter, rng)
                 if global_iter % args.print_freq == 0:
                     block.log("\n")
