@@ -70,6 +70,9 @@ def _add_base_args(parser: argparse.ArgumentParser):
     parser.add_argument("--device_preproc", action="store_true",
                         help="host decodes+resizes to uint8 only; crop/flip/"
                              "normalize run fused on-device (4x less H2D)")
+    parser.add_argument("--remat", action="store_true",
+                        help="rematerialize encoder/decoder activations in the"
+                             " backward pass (jax.checkpoint) to cut HBM use")
 
 
 def _add_train_args(parser: argparse.ArgumentParser):

@@ -99,6 +99,16 @@ class TranslationModel(Model):
 
     def encode_content(self, params, extra, img, rng=None, train=False):
         rngs = {"noise": rng} if (train and rng is not None) else None
+        if train and getattr(self.args, "remat", False):
+            # rematerialize encoder activations in the backward pass
+            # (jax.checkpoint: trade FLOPs for HBM at high resolution)
+            net = self.nets["content_encoder"]
+
+            def run(p, x, r):
+                rr = {"noise": r} if r is not None else None
+                return net.apply({"params": p}, x, deterministic=False, rngs=rr)
+
+            return jax.checkpoint(run)(params["content_encoder"], img, rng)
         return self._apply(
             "content_encoder", params, extra, img, deterministic=not train, rngs=rngs
         )
@@ -117,8 +127,17 @@ class TranslationModel(Model):
 
     def decode(self, params, z_c, z, c, rng=None, train=False):
         rngs = None
-        if train and rng is not None and getattr(self.args, "use_dropout", False):
+        use_dropout = getattr(self.args, "use_dropout", False)
+        if train and rng is not None and use_dropout:
             rngs = {"dropout": rng}
+        if train and getattr(self.args, "remat", False):
+            net = self.nets["decoder"]
+
+            def run(p, zc_, z_, c_, r):
+                rr = {"dropout": r} if (use_dropout and r is not None) else None
+                return net.apply({"params": p}, zc_, z_, c_, deterministic=False, rngs=rr)
+
+            return jax.checkpoint(run)(params["decoder"], z_c, z, c, rng)
         return self._apply(
             "decoder", params, None, z_c, z, c, deterministic=not train, rngs=rngs
         )

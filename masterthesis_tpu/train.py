@@ -52,6 +52,9 @@ class Trainer:
             base_rng = jax.random.PRNGKey(getattr(args, "seed", 0))
             if mesh is not None:
                 state = replicate(state, mesh)
+            from masterthesis_tpu.utils.profiling import StepTimer
+
+            timer = StepTimer(sync_every=max(1, args.print_freq))
             device_preproc = getattr(args, "device_preproc", False)
             for batch in infinite(dataloader):
                 batch = shard_batch(batch, mesh)
@@ -65,6 +68,10 @@ class Trainer:
                         train=True, no_flip=getattr(args, "no_flip", False),
                     )
                 state, _ = model.optimize_parameters(state, batch, global_iter, rng)
+                rate = timer.lap(model.loss)
+                if rate is not None:
+                    block.log(f"throughput: {rate:.2f} it/s "
+                              f"({rate * 2 * args.batch_size:.1f} img/s)")
                 if global_iter % args.print_freq == 0:
                     block.log("\n")
                     block.log(f"Iteration: {global_iter}, LR : {model.get_current_lr(state)}")

@@ -59,3 +59,21 @@ def save_images(images, names) -> None:
     x = _to_numpy(images)
     for img, name in zip(x, names):
         save_image(img, name)
+
+
+def tensor_to_mask(mask, imtype=np.uint8) -> np.ndarray:
+    """[0,1] NHWC segmentation mask -> uint8 image (reference utils.py:82-93)."""
+    grid = make_grid(_to_numpy(mask))
+    return np.clip(grid * 255.0, 0, 255).astype(imtype)
+
+
+def resize_image(img: np.ndarray, size) -> np.ndarray:
+    """Resize an HWC uint8 image (reference utils.py:95-101)."""
+    from PIL import Image
+
+    return np.asarray(Image.fromarray(img).resize(size))
+
+
+def param_to_str(**kwargs) -> str:
+    """'key: value, ...' formatting helper (reference utils.py:34-38)."""
+    return str([f"{key}: {value}" for key, value in kwargs.items()]).strip("[]")

@@ -126,3 +126,17 @@ def test_forward_paths_deterministic_content():
     out2, _, _ = m.forward_random(state, img, z, c)
     np.testing.assert_allclose(np.asarray(out1), np.asarray(out2))
     assert out1.shape == img.shape
+
+
+def test_remat_matches_baseline():
+    """--remat must not change the math, only the backward memory profile."""
+    batch = make_batch()
+    logs = {}
+    for remat in (False, True):
+        args = tiny_train_args(remat=remat)
+        m = AdaINModel(args)
+        state = m.initialize()
+        state, l = m.optimize_parameters(state, batch, 0, jax.random.PRNGKey(9))
+        logs[remat] = {k: float(v) for k, v in l.items()}
+    for k in logs[False]:
+        assert abs(logs[False][k] - logs[True][k]) < 1e-4, k
