@@ -91,3 +91,14 @@ def test_conv_transpose_matches_torch_arithmetic():
     assert y.shape == (1, 10, 10, 2)
     y = _init_apply(B.ConvTranspose2d(2, 1, 1, 0, 0), x)
     assert y.shape == (1, 5, 5, 2)
+
+
+def test_subpixel_conv_transpose_exact():
+    """The k3/s2/p1/op1 fast path must match lax.conv_transpose exactly."""
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 5, 7, 4))
+    k = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 4, 6))
+    ref = jax.lax.conv_transpose(
+        x, k, (2, 2), ((1, 2), (1, 2)), dimension_numbers=("NHWC", "HWIO", "NHWC")
+    )
+    got = B._subpixel_conv_transpose(x, k, jnp.float32)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(ref), atol=1e-5)
