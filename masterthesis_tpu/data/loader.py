@@ -38,17 +38,24 @@ class DataLoader:
         drop_last: bool = False,
         prefetch: int = 2,
         seed: int = 0,
+        shard_index: int = 0,
+        num_shards: int = 1,
     ):
+        """``shard_index``/``num_shards`` stride the index space per host for
+        multi-process (DCN) training: each process feeds its own disjoint
+        slice with a shared shuffle order (same seed on every host)."""
         self.dataset = dataset
         self.batch_size = batch_size
         self.shuffle = shuffle
         self.num_workers = num_workers
         self.drop_last = drop_last
         self.prefetch = max(1, prefetch)
+        self.shard_index = shard_index
+        self.num_shards = max(1, num_shards)
         self._rng = np.random.default_rng(seed)
 
     def __len__(self):
-        n = len(self.dataset)
+        n = len(self.dataset) // self.num_shards
         if self.drop_last:
             return n // self.batch_size
         return (n + self.batch_size - 1) // self.batch_size
@@ -58,7 +65,9 @@ class DataLoader:
         order = np.arange(n)
         if self.shuffle:
             self._rng.shuffle(order)
-        for start in range(0, n, self.batch_size):
+        if self.num_shards > 1:
+            order = order[self.shard_index :: self.num_shards]
+        for start in range(0, len(order), self.batch_size):
             idx = order[start : start + self.batch_size]
             if self.drop_last and len(idx) < self.batch_size:
                 return

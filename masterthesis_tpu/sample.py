@@ -94,6 +94,29 @@ class Sampler:
                     ]
                     save_images(np.asarray(imgs), names)
 
+    def sample_diverse(self, args, model, state, dataloader, trgs=None, refs=None):
+        """Diverse sampling variant: outputs under per-target-index dirs
+        (reference sample.py:116-137)."""
+        with TimerBlock("Running model"):
+            rng = jax.random.PRNGKey(getattr(args, "seed", 0))
+            if trgs is None:
+                trgs = range(args.num_domains)
+            if refs is not None:
+                assert len(trgs) == len(refs), "target and reference should match the shape"
+            for t, trg in enumerate(trgs):
+                rng, k = jax.random.split(rng)
+                z_sr = model.get_z_random(k, args.batch_size)
+                for i, batch in enumerate(dataloader):
+                    if refs is not None:
+                        imgs, _, _ = self.sample_batch(args, model, state, batch, trg, ref=refs[t], rng=k)
+                    else:
+                        imgs, _, _ = self.sample_batch(args, model, state, batch, trg, z_sr=z_sr)
+                    names = [
+                        os.path.join(args.display_dir, str(t), f"{i}_{j}.jpg")
+                        for j in range(len(imgs))
+                    ]
+                    save_images(np.asarray(imgs), names)
+
     def generate_image_grid(self, args, model, state, dataloader, refs=None, trgs=None):
         """rows=inputs, cols=targets grid + avg time/mem report
         (reference sample.py:139-174)."""

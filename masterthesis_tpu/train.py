@@ -31,6 +31,9 @@ class Trainer:
                 shuffle=getattr(args, "shuffle", False),
                 num_workers=args.num_workers,
                 drop_last=True,
+                # multi-host: each process feeds its disjoint slice
+                shard_index=jax.process_index(),
+                num_shards=jax.process_count(),
             )
         return dataloader
 

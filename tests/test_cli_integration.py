@@ -99,3 +99,23 @@ def test_sampler_writes_translations(tmp_path):
     for root, _, files in os.walk(str(tmp_path / "out")):
         outs += [os.path.join(root, f) for f in files]
     assert any(f.endswith(".jpg") for f in outs)
+
+
+def test_sampler_diverse_mode(tmp_path):
+    from masterthesis_tpu.arguments import default_test_args
+    from masterthesis_tpu.models import AdaINModel
+    from masterthesis_tpu.sample import Sampler
+    from masterthesis_tpu.data.transforms import EvalTransform
+
+    make_image_tree(tmp_path / "data", num_domains=1, per_domain=1, mode="imgs", size=40)
+    args = default_test_args(
+        dataroot=str(tmp_path / "data" / "imgs"), model=AdaINModel, batch_size=1,
+        num_domains=4, latent_dim=4, dim=8, crop_size=32, num_workers=0,
+        display_dir=str(tmp_path / "out"), result_dir=str(tmp_path / "out"),
+    )
+    sampler = Sampler()
+    sampler.transforms = EvalTransform(size=(32, 32))
+    model, state = sampler.load_model(args)
+    dataloader = sampler.load_dataset(args)
+    sampler.sample_diverse(args, model, state, dataloader, trgs=[2])
+    assert os.path.exists(os.path.join(str(tmp_path / "out"), "0", "0_0.jpg"))

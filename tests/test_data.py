@@ -112,3 +112,25 @@ def test_collate_nested():
     assert c["a"].shape == (2, 2)
     assert c["b"][0].shape == (2,)
     assert c["b"][1] == ["p1", "p2"]
+
+
+def test_dataloader_host_sharding(tmp_path):
+    """Multi-host striding: shards are disjoint and cover the index space."""
+    make_image_tree(tmp_path, per_domain=4)
+    ds = SingleDataset(_args(tmp_path, num_domains=4))
+
+    class _IdxDs:
+        def __len__(self):
+            return 12
+
+        def __getitem__(self, i):
+            return np.array([i])
+
+    shards = []
+    for s in range(3):
+        dl = DataLoader(_IdxDs(), batch_size=2, shard_index=s, num_shards=3)
+        got = np.concatenate([b.ravel() for b in dl])
+        shards.append(set(got.tolist()))
+        assert len(dl) == 2
+    assert shards[0] | shards[1] | shards[2] == set(range(12))
+    assert not (shards[0] & shards[1])
