@@ -14,7 +14,6 @@ from typing import Optional
 import numpy as np
 
 from masterthesis_tpu.data.transforms import (
-    EvalTransform,
     ToTensorTransform,
     TrainTransform,
     load_rgb,

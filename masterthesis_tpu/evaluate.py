@@ -24,7 +24,6 @@ import numpy as np
 
 from masterthesis_tpu.arguments import TestArguments
 from masterthesis_tpu.data.datasets import ImageList
-from masterthesis_tpu.data.loader import DataLoader
 from masterthesis_tpu.data.transforms import TrainTransform
 from masterthesis_tpu.utils import TimerBlock, save_images
 

@@ -32,7 +32,7 @@ from masterthesis_tpu.ops.initializers import (
     torch_linear_bias_init,
     torch_linear_kernel_init,
 )
-from masterthesis_tpu.ops.norms import InstanceNorm, LayerNorm, instance_norm, layer_norm
+from masterthesis_tpu.ops.norms import InstanceNorm, LayerNorm
 from masterthesis_tpu.ops.spectral import SpectralNorm
 
 Dtype = Any

@@ -18,7 +18,7 @@ All reductions are means over all elements, matching torch defaults.
 """
 from __future__ import annotations
 
-from typing import Any, Optional, Sequence
+from typing import Any, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -34,7 +34,6 @@ from masterthesis_tpu.models.blocks import (
     avg_pool2d,
     get_activation,
     global_avg_pool,
-    pad2d,
 )
 
 Dtype = Any

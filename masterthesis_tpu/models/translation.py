@@ -30,8 +30,7 @@ Documented divergences from the reference (intentional, see SURVEY.md §7):
 """
 from __future__ import annotations
 
-from functools import partial
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional
 
 import jax
 import jax.numpy as jnp

@@ -21,8 +21,6 @@ Falls back to the jnp implementation off-TPU (CPU tests) via
 from __future__ import annotations
 
 import functools
-from typing import Any
-
 import jax
 import jax.numpy as jnp
 
