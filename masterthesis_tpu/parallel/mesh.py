@@ -27,6 +27,23 @@ def make_mesh(num_devices: Optional[int] = None, devices=None) -> Mesh:
     return Mesh(np.array(devices), ("data",))
 
 
+def make_mesh_2d(data: int, spatial: int, devices=None) -> Mesh:
+    """2-D (data, spatial) mesh: batch sharded on 'data', image height sharded
+    on 'spatial'. Spatial sharding is this conv workload's analogue of
+    sequence/context parallelism (SURVEY.md §5): XLA GSPMD spatially
+    partitions every conv and inserts the halo exchanges over ICI — useful
+    when a single high-resolution image exceeds one chip's HBM."""
+    if devices is None:
+        devices = jax.devices()
+    devices = np.array(devices[: data * spatial]).reshape(data, spatial)
+    return Mesh(devices, ("data", "spatial"))
+
+
+def spatial_sharding(mesh: Mesh) -> NamedSharding:
+    """NHWC images: batch over 'data', H over 'spatial'."""
+    return NamedSharding(mesh, P("data", "spatial"))
+
+
 def data_sharding(mesh: Mesh) -> NamedSharding:
     return NamedSharding(mesh, P("data"))
 

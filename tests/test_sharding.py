@@ -54,3 +54,28 @@ def test_train_step_under_data_parallel_mesh():
 def test_num_devices_limit():
     mesh = make_mesh(num_devices=4)
     assert mesh.devices.size == 4
+
+
+def test_spatial_sharding_matches_unsharded():
+    """dp x spatial 2-D mesh: GSPMD halo-exchanged convs == single-device."""
+    import numpy as np
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    from masterthesis_tpu.models import AdaINModel
+    from masterthesis_tpu.parallel import make_mesh_2d, spatial_sharding
+
+    args = tiny_train_args()
+    m = AdaINModel(args)
+    state = m.initialize()
+    img = make_batch()["x1"]
+    z = jnp.zeros((2, args.latent_dim))
+    c = jax.nn.one_hot(jnp.array([0, 1]), 4)
+    ref = m._forward_random_jit(state.params, img, z, c)
+
+    mesh = make_mesh_2d(2, 4)
+    img_s = jax.device_put(img, spatial_sharding(mesh))
+    z_s = jax.device_put(z, NamedSharding(mesh, P("data")))
+    c_s = jax.device_put(c, NamedSharding(mesh, P("data")))
+    params_s = jax.device_put(state.params, NamedSharding(mesh, P()))
+    out = m._forward_random_jit(params_s, img_s, z_s, c_s)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=1e-4)
