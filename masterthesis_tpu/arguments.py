@@ -73,6 +73,10 @@ def _add_base_args(parser: argparse.ArgumentParser):
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize encoder/decoder activations in the"
                              " backward pass (jax.checkpoint) to cut HBM use")
+    parser.add_argument("--ckpt_format", type=str, default="msgpack",
+                        choices=["msgpack", "orbax"],
+                        help="checkpoint backend: single msgpack files "
+                             "(reference filename parity) or orbax dirs")
 
 
 def _add_train_args(parser: argparse.ArgumentParser):
@@ -98,6 +102,9 @@ def _add_train_args(parser: argparse.ArgumentParser):
     parser.add_argument("--train_n_batch", type=float, default=float("inf"))
     parser.add_argument("--gan_mode", type=str, default="vanilla")
     parser.add_argument("--resume_opt", type=str, default=None)
+    parser.add_argument("--lambda_gp", type=float, default=0.0,
+                        help="WGAN gradient-penalty weight (wgangp mode; the "
+                             "reference exposes wgangp without a penalty)")
     parser.add_argument("--ms_dis", action="store_true")
     parser.add_argument("--dis_sn", action="store_true")
     parser.add_argument("--num_scales", type=int, default=3)

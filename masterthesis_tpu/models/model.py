@@ -114,10 +114,14 @@ class Model(ABC):
     # ------------------------------------------------------------------ #
     def save(self, state: TrainState, it: int) -> None:
         ckdir = self.args.checkpoint_dir
+        # 'msgpack' (default) -> single model_{it}.ckpt files (reference
+        # filename parity); 'orbax' -> model_{it}.orbax directories (sharded
+        # array support for scale-out)
+        ext = ".orbax" if getattr(self.args, "ckpt_format", "msgpack") == "orbax" else ".ckpt"
         model_tree = {"params": dict(state.params), "extra": dict(state.extra)}
-        ckpt.save_pytree(model_tree, os.path.join(ckdir, f"model_{it}.ckpt"))
+        ckpt.save_pytree(model_tree, os.path.join(ckdir, f"model_{it}{ext}"))
         opt_tree = {"opt_state": dict(state.opt_state), "step": state.step}
-        ckpt.save_pytree(opt_tree, os.path.join(ckdir, f"opt_{it}.ckpt"))
+        ckpt.save_pytree(opt_tree, os.path.join(ckdir, f"opt_{it}{ext}"))
 
     def load(self, state: TrainState, checkpoint: Optional[str], opt_ckpt: Optional[str] = None):
         if checkpoint is not None:

@@ -150,7 +150,23 @@ class TranslationModel(Model):
     # ------------------------------------------------------------------ #
     # loss pieces
     # ------------------------------------------------------------------ #
-    def _d_loss(self, d_name, d_params, params, extra, real, fake, c_org):
+    def _gradient_penalty(self, d_name, p, extra, real, fake, rng):
+        """WGAN-GP interpolated gradient penalty (enhancement: the reference
+        exposes gan_mode=wgangp but never adds the penalty, so the mode is
+        unusable there; enabled here via --lambda_gp > 0)."""
+        eps = jax.random.uniform(rng, (real.shape[0], 1, 1, 1), jnp.float32)
+        interp = eps * real.astype(jnp.float32) + (1.0 - eps) * fake.astype(jnp.float32)
+
+        def d_scalar(x):
+            out = self.discriminate(p, extra, d_name, x.astype(real.dtype))
+            pred = out[0][0] if isinstance(out, list) else out[0]
+            return jnp.sum(pred.astype(jnp.float32))
+
+        grads = jax.grad(d_scalar)(interp)
+        norms = jnp.sqrt(jnp.sum(jnp.square(grads), axis=(1, 2, 3)) + 1e-12)
+        return jnp.mean(jnp.square(norms - 1.0))
+
+    def _d_loss(self, d_name, d_params, params, extra, real, fake, c_org, rng=None):
         """Discriminator loss (reference backward_discriminator
         base_model.py:226-248 / backward_multi_scale_discriminator :207-224)."""
         a = self.args
@@ -175,7 +191,14 @@ class TranslationModel(Model):
                 adv = L.gan_loss(pred_fake, False, mode) + L.gan_loss(pred_real, True, mode)
             cls = L.bce_logits_loss(pred_real_cls, c_org)
         total = adv + a.lambda_cls * cls
-        return total, {"d_adv": adv, "d_cls": cls, "d_total": total}
+        logs = {"d_adv": adv, "d_cls": cls, "d_total": total}
+        lambda_gp = float(getattr(a, "lambda_gp", 0.0) or 0.0)
+        if "wgangp" in mode and lambda_gp > 0.0 and rng is not None:
+            gp = self._gradient_penalty(d_name, p, extra, real, fake, rng)
+            total = total + lambda_gp * gp
+            logs["d_gp"] = gp
+            logs["d_total"] = total
+        return total, logs
 
     def _g_adv_loss(self, params, extra, real, fake, c_org, d_fake, d_real=None):
         """Generator adversarial + classification terms
@@ -240,8 +263,9 @@ class TranslationModel(Model):
             ("discriminator1", img_fake, "d1"),
             ("discriminator2", img_random, "d2"),
         ):
+            k_gp = jax.random.fold_in(ks[3], 1 if d_name == "discriminator1" else 2)
             (d_total, d_logs), grads = jax.value_and_grad(self._d_loss, argnums=1, has_aux=True)(
-                d_name, params[d_name], params, extra, img, fake, c_org
+                d_name, params[d_name], params, extra, img, fake, c_org, k_gp
             )
             params[d_name], opt_state[d_name] = apply_updates(
                 self.tx[d_name], grads, opt_state[d_name], params[d_name], lr

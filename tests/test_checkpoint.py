@@ -84,3 +84,13 @@ def test_orbax_backend_roundtrip(tmp_path):
     ckpt.save_pytree(tree, path)
     restored = ckpt.load_pytree(path, jax.tree.map(jnp.zeros_like, tree))
     assert _trees_equal(tree, restored)
+
+
+def test_orbax_format_flag(tmp_path):
+    args = tiny_train_args(checkpoint_dir=str(tmp_path), ckpt_format="orbax")
+    m = AdaINModel(args)
+    state = m.initialize()
+    m.save(state, 5)
+    assert os.path.isdir(tmp_path / "model_5.orbax")
+    restored = ckpt.load_pytree(str(tmp_path / "model_5.orbax"))
+    assert "params" in restored

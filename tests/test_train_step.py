@@ -140,3 +140,15 @@ def test_remat_matches_baseline():
         logs[remat] = {k: float(v) for k, v in l.items()}
     for k in logs[False]:
         assert abs(logs[False][k] - logs[True][k]) < 1e-4, k
+
+
+def test_wgangp_gradient_penalty():
+    """wgangp with --lambda_gp: penalty logged, step finite (an enhancement —
+    the reference exposes wgangp with no penalty term)."""
+    args = tiny_train_args(gan_mode="wgangp", lambda_gp=10.0)
+    m = AdaINModel(args)
+    state = m.initialize()
+    state, logs = m.optimize_parameters(state, make_batch(), 0, jax.random.PRNGKey(11))
+    assert "d_gp" in logs
+    assert np.isfinite(float(logs["d_gp"])) and float(logs["d_gp"]) > 0
+    assert all(np.isfinite(float(v)) for v in logs.values())
