@@ -154,8 +154,22 @@ def _make_exp_dirs(args):
     return args
 
 
+def _git_revision():
+    import subprocess
+
+    try:
+        return subprocess.run(
+            ["git", "rev-parse", "--short", "HEAD"],
+            capture_output=True, text=True, timeout=5,
+            cwd=os.path.dirname(os.path.abspath(__file__)),
+        ).stdout.strip() or "unknown"
+    except Exception:
+        return "unknown"
+
+
 def _dump_args(args, path):
-    arguments = vars(args) if not isinstance(args, dict) else args
+    arguments = dict(vars(args) if not isinstance(args, dict) else args)
+    arguments["framework_revision"] = _git_revision()  # reproducibility stamp
     with open(path, "a") as f:
         print("\n--- Loaded arguments ---")
         for name, value in sorted(arguments.items(), key=lambda kv: kv[0]):
