@@ -9,8 +9,13 @@ vs_baseline is value / 2000 (the BASELINE.json north-star target of >=2k
 from __future__ import annotations
 
 import json
+import os
 import sys
 import time
+
+# TPU compiles on this machine go through a slow remote service; the
+# persistent cache turns a ~4 min cold bench into ~1 min.
+os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_jax_cache")
 
 
 def main():
