@@ -67,9 +67,10 @@ def evaluate(args, model, state, num_styles: int = 2):
                     for s in range(num_styles)
                 ]
                 save_images(np.stack(outs), names)
-            # FID update: translated vs a real target image ([0,1] range)
-            real = real_ds[i % len(real_ds)]
-            fid.update(((np.stack(outs[:1]) + 1.0) / 2.0, real[None]))
+            # FID update: both sides mapped [-1,1] -> [0,1] (TrainTransform
+            # normalizes reals to [-1,1] too; InceptionV3 expects [0,1])
+            real = np.asarray(real_ds[i % len(real_ds)], np.float32)
+            fid.update(((np.stack(outs[:1]) + 1.0) / 2.0, (real[None] + 1.0) / 2.0))
             if num_styles > 1:
                 d = lpips_fn(jnp.asarray(outs[0])[None], jnp.asarray(outs[1])[None])
                 diversity.append(float(d[0]))

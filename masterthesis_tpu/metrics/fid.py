@@ -72,6 +72,11 @@ class FID(Metrics):
 
     def _get_covariance(self, sigma: np.ndarray, total: np.ndarray) -> np.ndarray:
         """Covariance from sum and sum-of-outer-products (fid.py:127-136)."""
+        if self._num_examples < 2:
+            raise ValueError(
+                "FID needs at least 2 examples per side to estimate a covariance "
+                f"(got {self._num_examples}); call update() with more data."
+            )
         sub = np.outer(total, total) / self._num_examples
         return (sigma - sub) / (self._num_examples - 1)
 

@@ -186,6 +186,11 @@ class Sampler:
                 block.log("Generating image grid")
                 self.generate_image_grid(args, model, state, dataloader, args.reference, args.targets)
             elif args.gen_style:
+                if not args.targets:
+                    raise SystemExit(
+                        "--gen_style needs a target domain: pass --targets <domain> "
+                        f"(one of {DOMAIN_MAP})."
+                    )
                 block.log("Generating multiple style image grid")
                 batch = next(iter(dataloader))
                 self.generate_multiple_styles(

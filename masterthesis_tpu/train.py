@@ -59,7 +59,14 @@ class Trainer:
 
             timer = StepTimer(sync_every=max(1, args.print_freq))
             device_preproc = getattr(args, "device_preproc", False)
+            imgs_per_item = None
             for batch in infinite(dataloader):
+                if imgs_per_item is None:
+                    # paired datasets carry x1/x2 per item, single datasets x
+                    imgs_per_item = (
+                        sum(1 for k in batch if k in ("x", "x1", "x2"))
+                        if isinstance(batch, dict) else 1
+                    )
                 batch = shard_batch(batch, mesh)
                 rng = jax.random.fold_in(base_rng, global_iter)
                 if device_preproc:
@@ -74,7 +81,7 @@ class Trainer:
                 rate = timer.lap(model.loss)
                 if rate is not None:
                     block.log(f"throughput: {rate:.2f} it/s "
-                              f"({rate * 2 * args.batch_size:.1f} img/s)")
+                              f"({rate * imgs_per_item * args.batch_size:.1f} img/s)")
                 if global_iter % args.print_freq == 0:
                     block.log("\n")
                     block.log(f"Iteration: {global_iter}, LR : {model.get_current_lr(state)}")

@@ -34,3 +34,43 @@ def test_evaluate_reports_per_domain(tmp_path):
     for r in results.values():
         assert np.isfinite(r["fid"])
         assert np.isfinite(r["lpips_diversity"])
+
+
+def test_evaluate_fid_zero_for_identity_translation(tmp_path):
+    """Regression for the real/fake range mismatch: with two domains holding
+    identical images and a model that returns its input unchanged, the
+    evaluate-path FID must be ~0. The old code fed reals at [-1,1] but fakes
+    at [0,1], which makes this fail with a large FID."""
+    import jax.numpy as jnp
+
+    # both domains contain the same files -> content(fog)==real(cloud)
+    make_image_tree(tmp_path / "data", num_domains=1, per_domain=3, mode="val")
+    src = tmp_path / "data" / "val" / "cloud"
+    dst = tmp_path / "data" / "val" / "fog"
+    dst.mkdir()
+    for f in src.iterdir():
+        (dst / f.name).write_bytes(f.read_bytes())
+
+    class IdentityModel:
+        def get_z_random(self, key, n):
+            return jnp.zeros((n, 4), jnp.float32)
+
+        def forward_random(self, state, img, z, trg):
+            return img, 0.0, 0.0
+
+    args = AttributeDict(
+        dataroot=str(tmp_path / "data"),
+        mode="val",
+        num_domains=2,
+        load_size=36,
+        crop_size=32,
+        seed=0,
+        save_visuals=False,
+        fid_weights=None,
+        lpips_weights=None,
+    )
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")  # random metric weights
+        results = evaluate(args, IdentityModel(), state=None, num_styles=1)
+    for r in results.values():
+        assert abs(r["fid"]) < 1e-3, r["fid"]

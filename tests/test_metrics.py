@@ -47,6 +47,14 @@ def test_fid_shape_mismatch_raises():
         fid.update((np.zeros((2, 4)), np.zeros((3, 4))))
 
 
+def test_fid_single_example_raises():
+    """n=1 would divide by zero in the covariance; must fail loudly."""
+    fid = FID(num_features=4, feature_extractor=lambda x: x)
+    fid.update((np.ones((1, 4)), np.ones((1, 4))))
+    with pytest.raises(ValueError, match="at least 2"):
+        fid.compute()
+
+
 def test_lpips_zero_for_identical_and_positive_otherwise():
     import warnings
 
