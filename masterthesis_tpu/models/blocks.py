@@ -439,6 +439,12 @@ class DownResnetBlock(nn.Module):
             h = norm_cls(name="pre_norm")(h)
         act = get_activation(self.activation)
         h = act(h)
+        # Reference runtime quirk (verified by tests/test_parity_reference.py):
+        # its pre-activation is LeakyReLU(inplace=True) applied directly to the
+        # block input (blocks.py:109), so by the time `self.shortcut(x)` runs,
+        # x has already been activated in place — unless a (non-inplace)
+        # pre-norm produced a fresh tensor first. Match that behavior exactly.
+        shortcut_in = x if norm_cls is not None else h
         h = ConvBlock(
             in_features,
             3,
@@ -462,7 +468,7 @@ class DownResnetBlock(nn.Module):
             **common,
         )(h)
         h = avg_pool2d(h, 2, 2)
-        s = avg_pool2d(x, 2, 2)
+        s = avg_pool2d(shortcut_in, 2, 2)
         s = Conv2d(self.features, 1, 1, 0, use_bias=self.use_bias, name="shortcut", **common)(s)
         return h + s
 

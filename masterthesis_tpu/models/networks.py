@@ -320,7 +320,10 @@ class DecoderConcat(nn.Module):
             return jnp.concatenate([h, z_map.astype(h.dtype)], axis=-1)
 
         h = ResnetBlock(self.dim, name="dec_share", **common)(x, deterministic=deterministic)
-        h = concat_label(with_z(h), c)
+        # channel order [content, domains, z] matches the reference's
+        # torch.cat([out0, c, z_img], 1) (networks.py:322) so reference
+        # checkpoints port channel-for-channel (tools/port_reference.py)
+        h = with_z(concat_label(h, c))
         nch = self.dim + self.latent_dim + self.num_domains
         for i in range(self.n_blocks):
             h = ResnetBlock(nch, dropout=self.dropout, name=f"dec1_{i}", **common)(

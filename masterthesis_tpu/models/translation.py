@@ -230,6 +230,127 @@ class TranslationModel(Model):
         return self.perceptual.apply({"params": aux_params}, x, y)
 
     # ------------------------------------------------------------------ #
+    # loss computations (extracted so the torch-parity suite can evaluate
+    # them deterministically with train=False and injected z; ``ks`` may be
+    # None, in which case all sampling paths are disabled)
+    # ------------------------------------------------------------------ #
+    def _make_d_fakes(self, params, extra, img, c_org, b, z_sr, ks, train=True):
+        """Fake/random image pairs for the D updates (reference
+        update_discriminator, base_model.py:168-197): the reference's two
+        per-direction decoder calls are fused into one 4b-batch call (exact:
+        all norms are per-sample)."""
+        k = (lambda i: ks[i] if ks is not None else None)
+        cls_a, cls_b = c_org[:b], c_org[b:]
+        z_c = self.encode_content(params, extra, img, k(0), train=train)
+        z_s, _, _ = self.encode_style(params, img, c_org, k(1), train=train)
+        z_ca, z_cb = z_c[:b], z_c[b:]
+        z_sa, z_sb = z_s[:b], z_s[b:]
+        content = jnp.concatenate([z_cb, z_cb, z_ca, z_ca], axis=0)
+        style = jnp.concatenate([z_sa, z_sr, z_sb, z_sr], axis=0).astype(z_s.dtype)
+        trg = jnp.concatenate([cls_a, cls_a, cls_b, cls_b], axis=0)
+        fakes = self.decode(params, content, style, trg, k(2), train=train)
+        img_ba, img_br, img_ab, img_ar = jnp.split(fakes, 4, axis=0)
+        img_fake = jax.lax.stop_gradient(jnp.concatenate([img_ba, img_ab], axis=0))
+        img_random = jax.lax.stop_gradient(jnp.concatenate([img_br, img_ar], axis=0))
+        return img_fake, img_random
+
+    def _g1_loss(self, p, extra, img, c_org, b, ks, aux_params, train=True):
+        """Generator phase-1 loss (reference backward_generator,
+        base_model.py:266-366). Returns (total, logs)."""
+        a = self.args
+        k = (lambda i: ks[i] if ks is not None else None)
+        cls_a, cls_b = c_org[:b], c_org[b:]
+        g_logs = {}
+        z_c = self.encode_content(p, extra, img, k(0), train=train)
+        z_s, mu, logvar = self.encode_style(p, img, c_org, k(1), train=train)
+        z_ca, z_cb = z_c[:b], z_c[b:]
+        z_sa, z_sb = z_s[:b], z_s[b:]
+        content = jnp.concatenate([z_cb, z_ca, z_ca, z_cb], axis=0)
+        style = jnp.concatenate([z_sa, z_sa, z_sb, z_sb], axis=0)
+        trg = jnp.concatenate([cls_a, cls_a, cls_b, cls_b], axis=0)
+        fakes = self.decode(p, content, style, trg, k(2), train=train)
+        img_ba, img_aa, img_ab, img_bb = jnp.split(fakes, 4, axis=0)
+        img_fake = jnp.concatenate([img_ba, img_ab], axis=0)
+        img_self = jnp.concatenate([img_aa, img_bb], axis=0)
+        # cycle: re-encode and reconstruct (base_model.py:291-304)
+        z_c_rec = self.encode_content(p, extra, img_fake, k(3), train=train)
+        z_c_rec_b, z_c_rec_a = z_c_rec[:b], z_c_rec[b:]
+        z_s_rec, _, _ = self.encode_style(p, img_fake, c_org, k(4), train=train)
+        z_s_rec_a, z_s_rec_b = z_s_rec[:b], z_s_rec[b:]
+        img_recon = self.decode(
+            p,
+            jnp.concatenate([z_c_rec_a, z_c_rec_b], axis=0),
+            jnp.concatenate([z_s_rec_a, z_s_rec_b], axis=0),
+            c_org,
+            k(5),
+            train=train,
+        )
+        adv, cls = self._g_adv_loss(p, extra, img, img_fake, c_org, "discriminator1")
+        loss_self = L.l1_loss(img, img_self) * a.lambda_rec
+        loss_cc = L.l1_loss(img, img_recon) * a.lambda_rec
+        loss_kl_zc = L.l2_regularize(z_c) * 0.01
+        if self.reparam:
+            loss_kl_zs = L.kl_divergence(mu, logvar) * 0.01
+        else:
+            loss_kl_zs = L.l2_regularize(z_s) * 0.01
+        total = adv + cls + loss_self + loss_cc + loss_kl_zc + loss_kl_zs
+        if getattr(a, "use_dis_content", False):
+            pred = self.discriminate(p, extra, "content_discriminator", z_c)
+            loss_content = L.bce_logits_loss(pred, 1.0 - c_org)
+            total = total + loss_content
+            g_logs["g_content"] = loss_content
+        if self.perceptual is not None:
+            img_fake_p = jnp.concatenate([img_ab, img_ba], axis=0)
+            g_p = self._perceptual_loss(aux_params, img, img_fake_p) * a.lambda_perceptual
+            total = total + g_p
+            g_logs["g_p"] = g_p
+        g_logs.update(
+            g_adv=adv, g_cls=cls, kl_zc=loss_kl_zc, kl_zs=loss_kl_zs,
+            l1_self_rec=loss_self, l1_cc_rec=loss_cc, total_g=total,
+        )
+        return total, g_logs
+
+    def _g2_loss(self, p, extra, img, c_org, b, z_sr2, ks, aux_params, train=True):
+        """Generator phase-2 (random-decode) loss (reference
+        backward_decoder_random, base_model.py:373-434)."""
+        a = self.args
+        k = (lambda i: ks[i] if ks is not None else None)
+        g_logs = {}
+        z_c = self.encode_content(p, extra, img, k(0), train=train)
+        z_ca, z_cb = z_c[:b], z_c[b:]
+        content = jnp.concatenate([z_cb, z_ca], axis=0)
+        style = jnp.concatenate([z_sr2, z_sr2], axis=0)
+        img_random = self.decode(p, content, style, c_org, k(1), train=train)
+        img_br, img_ar = img_random[:b], img_random[b:]
+        # discriminator selection quirks (base_model.py:386-409)
+        if getattr(a, "ms_dis", False):
+            adv2, cls2 = self._g_adv_loss(
+                p, extra, img, img_random, c_org, "discriminator1"
+            )
+        elif getattr(a, "use_ragan", False):
+            adv2, cls2 = self._g_adv_loss(
+                p, extra, img, img_random, c_org, "discriminator1", "discriminator2"
+            )
+        else:
+            adv2, cls2 = self._g_adv_loss(
+                p, extra, img, img_random, c_org, "discriminator2"
+            )
+        # latent regression (base_model.py:410-421)
+        z_rec, mu2, _ = self.encode_style(p, img_random, c_org, k(2), train=train)
+        reg_target = mu2 if self.reparam else z_rec
+        loss_z_a = L.l1_loss(reg_target[:b], z_sr2)
+        loss_z_b = L.l1_loss(reg_target[b:], z_sr2)
+        loss_z_l1 = (loss_z_a + loss_z_b) * 10.0
+        total = loss_z_l1 + adv2 + cls2
+        if self.perceptual is not None:
+            img_random_p = jnp.concatenate([img_ar, img_br], axis=0)
+            g_p2 = self._perceptual_loss(aux_params, img, img_random_p) * a.lambda_perceptual
+            total = total + g_p2
+            g_logs["g_p2"] = g_p2
+        g_logs.update(l1_recon_z=loss_z_l1, gan2=adv2, gan2_cls=cls2)
+        return total, g_logs
+
+    # ------------------------------------------------------------------ #
     # train steps
     # ------------------------------------------------------------------ #
     def _main_step_impl(self, state: TrainState, batch, rng, aux_params):
@@ -237,7 +358,6 @@ class TranslationModel(Model):
         img = jnp.concatenate([batch["x1"], batch["x2"]], axis=0)
         c_org = jnp.concatenate([batch["y1"], batch["y2"]], axis=0).astype(jnp.float32)
         b = batch["x1"].shape[0]
-        cls_a, cls_b = c_org[:b], c_org[b:]
         lr = self.schedule(state.step)
         params = dict(state.params)
         opt_state = dict(state.opt_state)
@@ -246,18 +366,10 @@ class TranslationModel(Model):
         ks = list(jax.random.split(rng, 14))
 
         # ------------------- D phase (base_model.py:168-205) ------------- #
-        z_c = self.encode_content(params, extra, img, ks[0], train=True)
-        z_s, _, _ = self.encode_style(params, img, c_org, ks[1], train=True)
         z_sr = self.get_z_random(ks[2], b)
-        z_ca, z_cb = z_c[:b], z_c[b:]
-        z_sa, z_sb = z_s[:b], z_s[b:]
-        content = jnp.concatenate([z_cb, z_cb, z_ca, z_ca], axis=0)
-        style = jnp.concatenate([z_sa, z_sr, z_sb, z_sr], axis=0).astype(z_s.dtype)
-        trg = jnp.concatenate([cls_a, cls_a, cls_b, cls_b], axis=0)
-        fakes = self.decode(params, content, style, trg, ks[3], train=True)
-        img_ba, img_br, img_ab, img_ar = jnp.split(fakes, 4, axis=0)
-        img_fake = jax.lax.stop_gradient(jnp.concatenate([img_ba, img_ab], axis=0))
-        img_random = jax.lax.stop_gradient(jnp.concatenate([img_br, img_ar], axis=0))
+        img_fake, img_random = self._make_d_fakes(
+            params, extra, img, c_org, b, z_sr, (ks[0], ks[1], ks[3]), train=True
+        )
 
         for d_name, fake, prefix in (
             ("discriminator1", img_fake, "d1"),
@@ -286,55 +398,7 @@ class TranslationModel(Model):
         # ------------------- G phase 1 (base_model.py:266-366) ----------- #
         def g1_loss(gparams):
             p = {**params, **gparams}
-            g_logs = {}
-            z_c = self.encode_content(p, extra, img, ks[4], train=True)
-            z_s, mu, logvar = self.encode_style(p, img, c_org, ks[5], train=True)
-            z_ca, z_cb = z_c[:b], z_c[b:]
-            z_sa, z_sb = z_s[:b], z_s[b:]
-            content = jnp.concatenate([z_cb, z_ca, z_ca, z_cb], axis=0)
-            style = jnp.concatenate([z_sa, z_sa, z_sb, z_sb], axis=0)
-            trg = jnp.concatenate([cls_a, cls_a, cls_b, cls_b], axis=0)
-            fakes = self.decode(p, content, style, trg, ks[6], train=True)
-            img_ba, img_aa, img_ab, img_bb = jnp.split(fakes, 4, axis=0)
-            img_fake = jnp.concatenate([img_ba, img_ab], axis=0)
-            img_self = jnp.concatenate([img_aa, img_bb], axis=0)
-            # cycle: re-encode and reconstruct (base_model.py:291-304)
-            z_c_rec = self.encode_content(p, extra, img_fake, ks[7], train=True)
-            z_c_rec_b, z_c_rec_a = z_c_rec[:b], z_c_rec[b:]
-            z_s_rec, _, _ = self.encode_style(p, img_fake, c_org, ks[8], train=True)
-            z_s_rec_a, z_s_rec_b = z_s_rec[:b], z_s_rec[b:]
-            img_recon = self.decode(
-                p,
-                jnp.concatenate([z_c_rec_a, z_c_rec_b], axis=0),
-                jnp.concatenate([z_s_rec_a, z_s_rec_b], axis=0),
-                c_org,
-                ks[9],
-                train=True,
-            )
-            adv, cls = self._g_adv_loss(p, extra, img, img_fake, c_org, "discriminator1")
-            loss_self = L.l1_loss(img, img_self) * a.lambda_rec
-            loss_cc = L.l1_loss(img, img_recon) * a.lambda_rec
-            loss_kl_zc = L.l2_regularize(z_c) * 0.01
-            if self.reparam:
-                loss_kl_zs = L.kl_divergence(mu, logvar) * 0.01
-            else:
-                loss_kl_zs = L.l2_regularize(z_s) * 0.01
-            total = adv + cls + loss_self + loss_cc + loss_kl_zc + loss_kl_zs
-            if getattr(a, "use_dis_content", False):
-                pred = self.discriminate(p, extra, "content_discriminator", z_c)
-                loss_content = L.bce_logits_loss(pred, 1.0 - c_org)
-                total = total + loss_content
-                g_logs["g_content"] = loss_content
-            if self.perceptual is not None:
-                img_fake_p = jnp.concatenate([img_ab, img_ba], axis=0)
-                g_p = self._perceptual_loss(aux_params, img, img_fake_p) * a.lambda_perceptual
-                total = total + g_p
-                g_logs["g_p"] = g_p
-            g_logs.update(
-                g_adv=adv, g_cls=cls, kl_zc=loss_kl_zc, kl_zs=loss_kl_zs,
-                l1_self_rec=loss_self, l1_cc_rec=loss_cc, total_g=total,
-            )
-            return total, g_logs
+            return self._g1_loss(p, extra, img, c_org, b, ks[4:10], aux_params, train=True)
 
         gp = {k: params[k] for k in GEN_NETS}
         (_, g_logs), grads = jax.value_and_grad(g1_loss, has_aux=True)(gp)
@@ -345,43 +409,13 @@ class TranslationModel(Model):
         logs.update(g_logs)
 
         # ------------------- G phase 2 (base_model.py:373-434) ----------- #
+        z_sr2 = self.get_z_random(ks[11], b)
+
         def g2_loss(gparams):
             p = {**params, **gparams}
-            g_logs = {}
-            z_c = self.encode_content(p, extra, img, ks[10], train=True)
-            z_ca, z_cb = z_c[:b], z_c[b:]
-            z_sr2 = self.get_z_random(ks[11], b)
-            content = jnp.concatenate([z_cb, z_ca], axis=0)
-            style = jnp.concatenate([z_sr2, z_sr2], axis=0)
-            img_random = self.decode(p, content, style, c_org, ks[12], train=True)
-            img_br, img_ar = img_random[:b], img_random[b:]
-            # discriminator selection quirks (base_model.py:386-409)
-            if getattr(a, "ms_dis", False):
-                adv2, cls2 = self._g_adv_loss(
-                    p, extra, img, img_random, c_org, "discriminator1"
-                )
-            elif getattr(a, "use_ragan", False):
-                adv2, cls2 = self._g_adv_loss(
-                    p, extra, img, img_random, c_org, "discriminator1", "discriminator2"
-                )
-            else:
-                adv2, cls2 = self._g_adv_loss(
-                    p, extra, img, img_random, c_org, "discriminator2"
-                )
-            # latent regression (base_model.py:410-421)
-            z_rec, mu2, _ = self.encode_style(p, img_random, c_org, ks[13], train=True)
-            reg_target = mu2 if self.reparam else z_rec
-            loss_z_a = L.l1_loss(reg_target[:b], z_sr2)
-            loss_z_b = L.l1_loss(reg_target[b:], z_sr2)
-            loss_z_l1 = (loss_z_a + loss_z_b) * 10.0
-            total = loss_z_l1 + adv2 + cls2
-            if self.perceptual is not None:
-                img_random_p = jnp.concatenate([img_ar, img_br], axis=0)
-                g_p2 = self._perceptual_loss(aux_params, img, img_random_p) * a.lambda_perceptual
-                total = total + g_p2
-                g_logs["g_p2"] = g_p2
-            g_logs.update(l1_recon_z=loss_z_l1, gan2=adv2, gan2_cls=cls2)
-            return total, g_logs
+            return self._g2_loss(
+                p, extra, img, c_org, b, z_sr2, (ks[10], ks[12], ks[13]), aux_params, train=True
+            )
 
         gp2 = {k: params[k] for k in ("content_encoder", "decoder")}
         (_, g2_logs), grads2 = jax.value_and_grad(g2_loss, has_aux=True)(gp2)

@@ -1,16 +1,24 @@
 """Inference / sampling CLI.
 
-Parity with reference src/sample.py:16-228: translate an image directory or a
-video with reference-image or random styles; modes: per-target sampling,
-image grid (rows=inputs, cols=targets) and multi-style grid; reports average
-per-forward wall time + device memory like sample.py:173.
+Covers the reference sampler's capability surface (src/sample.py:16-228 —
+per-target translation, diverse sampling, input-by-target grids, multi-style
+grids, video-frame input, timing/memory reporting) on this framework's jitted
+forward paths.
 
-Run: ``python -m masterthesis_tpu.sample --dataroot ... --model AdaINModel
---resume ckpt --targets cloud fog rain sun ...``
+All device work happens inside ``forward_random`` / ``forward_reference``
+(models/translation.py), each a single jitted call; the host side here only
+loads batches and writes files.
+
+Run: ``python -m masterthesis_tpu.sample --dataroot DIR_OR_VIDEO --model
+AdaINModel --resume ckpt --targets fog sun ...``
+
+Divergence from the reference: grids are written into the experiment's
+display dir instead of the process working directory.
 """
 from __future__ import annotations
 
 import os
+from typing import List, Optional, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -22,22 +30,39 @@ from masterthesis_tpu.data.loader import DataLoader
 from masterthesis_tpu.data.transforms import EvalTransform, load_rgb
 from masterthesis_tpu.utils import TimerBlock, save_image, save_images
 
+#: domain index order used by --targets names
 DOMAIN_MAP = ["cloud", "fog", "rain", "sun"]
 
 
+def _one_hot(index: int, num_domains: int, batch: int) -> jnp.ndarray:
+    onehot = np.zeros((batch, num_domains), np.float32)
+    onehot[:, int(index)] = 1.0
+    return jnp.asarray(onehot)
+
+
 class Sampler:
-    """Applies the model to a sample set of images or a video."""
+    """Drives a trained model over an image directory or a video."""
 
     def __init__(self):
         self.transforms = EvalTransform()
 
+    # ------------------------------------------------------------------ #
+    # setup
+    # ------------------------------------------------------------------ #
+    def load_model(self, args):
+        with TimerBlock("Building model") as block:
+            model = args.model(args)
+            block.log("Restoring parameters")
+            state = model.initialize()
+            return model, state
+
     def load_dataset(self, args):
-        with TimerBlock("Loading Dataset") as block:
+        with TimerBlock("Opening input source") as block:
             if os.path.isdir(args.dataroot):
-                block.log("Load image dataset")
+                block.log(f"Image directory: {args.dataroot}")
                 dataset = ImageList(args.dataroot, transform=self.transforms)
             else:
-                block.log("Load video dataset")
+                block.log(f"Video file: {args.dataroot}")
                 dataset = VideoDataset(args.dataroot, transform=self.transforms)
             return DataLoader(
                 dataset,
@@ -46,161 +71,173 @@ class Sampler:
                 drop_last=True,
             )
 
-    def load_model(self, args):
-        with TimerBlock("Creating model") as block:
-            model = args.model(args)
-            block.log("Initialize model")
-            state = model.initialize()
-            return model, state
+    def _style_image(self, args, path: str) -> jnp.ndarray:
+        arr = self.transforms(load_rgb(path))
+        return jnp.asarray(np.repeat(arr[None], args.batch_size, axis=0))
 
-    def load_image(self, args, img_path):
-        arr = self.transforms(load_rgb(img_path))
-        arr = np.repeat(arr[None], args.batch_size, axis=0)
-        return jnp.asarray(arr)
+    def translate(self, args, model, state, batch, target: int,
+                  style_path: Optional[str] = None, style_code=None, rng=None):
+        """One jitted translation of ``batch`` into ``target``; style comes
+        from a reference image (style_path) or a latent code (style_code).
+        Returns (images, seconds, device_GB) like the reference's timed
+        forwards (base_model.py:112-128)."""
+        c_trg = _one_hot(target, args.num_domains, args.batch_size)
+        if style_path is not None:
+            ref_img = self._style_image(args, style_path)
+            return model.forward_reference(state, jnp.asarray(batch), ref_img, c_trg, rng)
+        if style_code is not None:
+            return model.forward_random(state, jnp.asarray(batch), style_code, c_trg)
+        raise ValueError("provide a style reference image or a latent style code")
 
-    def load_target(self, args, trg):
-        onehot = np.zeros((args.batch_size, args.num_domains), np.float32)
-        onehot[:, int(trg)] = 1.0
-        return jnp.asarray(onehot)
-
-    def sample_batch(self, args, model, state, batch, trg, ref=None, z_sr=None, rng=None):
-        trg_t = self.load_target(args, trg)
-        if ref is not None:
-            ref_img = self.load_image(args, ref)
-            return model.forward_reference(state, jnp.asarray(batch), ref_img, trg_t, rng)
-        if z_sr is not None:
-            return model.forward_random(state, jnp.asarray(batch), z_sr, trg_t)
-        raise ValueError("One of ref or z_sr values has to be provided.")
-
-    def sample(self, args, model, state, dataloader, trgs=None, refs=None):
-        """Per-target translation of every batch (reference sample.py:94-114)."""
-        with TimerBlock("Running model"):
-            rng = jax.random.PRNGKey(getattr(args, "seed", 0))
-            if trgs is None:
-                trgs = range(args.num_domains)
-            if refs is not None:
-                assert len(trgs) == len(refs), "target and reference should match the shape"
-            for t, trg in enumerate(trgs):
-                rng, k = jax.random.split(rng)
-                z_sr = model.get_z_random(k, args.batch_size)
-                for i, batch in enumerate(dataloader):
-                    if refs is not None:
-                        imgs, _, _ = self.sample_batch(args, model, state, batch, trg, ref=refs[t], rng=k)
-                    else:
-                        imgs, _, _ = self.sample_batch(args, model, state, batch, trg, z_sr=z_sr)
-                    names = [
-                        os.path.join(args.display_dir, str(trg), f"image{t}_{i}_{j}.jpg")
-                        for j in range(len(imgs))
-                    ]
-                    save_images(np.asarray(imgs), names)
-
-    def sample_diverse(self, args, model, state, dataloader, trgs=None, refs=None):
-        """Diverse sampling variant: outputs under per-target-index dirs
-        (reference sample.py:116-137)."""
-        with TimerBlock("Running model"):
-            rng = jax.random.PRNGKey(getattr(args, "seed", 0))
-            if trgs is None:
-                trgs = range(args.num_domains)
-            if refs is not None:
-                assert len(trgs) == len(refs), "target and reference should match the shape"
-            for t, trg in enumerate(trgs):
-                rng, k = jax.random.split(rng)
-                z_sr = model.get_z_random(k, args.batch_size)
-                for i, batch in enumerate(dataloader):
-                    if refs is not None:
-                        imgs, _, _ = self.sample_batch(args, model, state, batch, trg, ref=refs[t], rng=k)
-                    else:
-                        imgs, _, _ = self.sample_batch(args, model, state, batch, trg, z_sr=z_sr)
-                    names = [
-                        os.path.join(args.display_dir, str(t), f"{i}_{j}.jpg")
-                        for j in range(len(imgs))
-                    ]
-                    save_images(np.asarray(imgs), names)
-
-    def generate_image_grid(self, args, model, state, dataloader, refs=None, trgs=None):
-        """rows=inputs, cols=targets grid + avg time/mem report
-        (reference sample.py:139-174)."""
-        exetimes, memory = [], []
+    # ------------------------------------------------------------------ #
+    # modes
+    # ------------------------------------------------------------------ #
+    def _translate_all(self, args, model, state, dataloader, trgs, refs, name_fn):
+        """Shared loop for sample/sample_diverse: every batch into every
+        target, one fresh style per target, files named by ``name_fn``."""
         rng = jax.random.PRNGKey(getattr(args, "seed", 0))
-        z_sr = model.get_z_random(rng, args.batch_size) if refs is None else None
         if trgs is None:
             trgs = range(args.num_domains)
+        if refs is not None and len(refs) != len(trgs):
+            raise ValueError(
+                f"got {len(refs)} style references for {len(trgs)} targets"
+            )
+        for t, trg in enumerate(trgs):
+            rng, key = jax.random.split(rng)
+            style_code = model.get_z_random(key, args.batch_size)
+            for i, batch in enumerate(dataloader):
+                if refs is not None:
+                    imgs, _, _ = self.translate(
+                        args, model, state, batch, trg, style_path=refs[t], rng=key
+                    )
+                else:
+                    imgs, _, _ = self.translate(
+                        args, model, state, batch, trg, style_code=style_code
+                    )
+                save_images(
+                    np.asarray(imgs),
+                    [name_fn(t, trg, i, j) for j in range(len(imgs))],
+                )
+
+    def sample(self, args, model, state, dataloader, trgs=None, refs=None):
+        """Per-target translation; outputs under display_dir/<domain-index>/
+        (reference sample.py:94-114)."""
+        with TimerBlock("Translating"):
+            self._translate_all(
+                args, model, state, dataloader, trgs, refs,
+                lambda t, trg, i, j: os.path.join(
+                    args.display_dir, str(trg), f"image{t}_{i}_{j}.jpg"
+                ),
+            )
+
+    def sample_diverse(self, args, model, state, dataloader, trgs=None, refs=None):
+        """Diverse variant: outputs under per-target-index dirs
+        (reference sample.py:116-137)."""
+        with TimerBlock("Translating (diverse)"):
+            self._translate_all(
+                args, model, state, dataloader, trgs, refs,
+                lambda t, trg, i, j: os.path.join(args.display_dir, str(t), f"{i}_{j}.jpg"),
+            )
+
+    def generate_image_grid(self, args, model, state, dataloader, refs=None, trgs=None):
+        """Grid with input rows and one column per target, plus a mean
+        latency/memory report (reference sample.py:139-174)."""
+        timings: List[float] = []
+        mem_gb: List[float] = []
+        rng = jax.random.PRNGKey(getattr(args, "seed", 0))
+        style_code = model.get_z_random(rng, args.batch_size) if refs is None else None
+        if trgs is None:
+            trgs = range(args.num_domains)
+        if refs is not None and len(refs) != len(trgs):
+            raise ValueError("each target needs a style reference image")
+        columns = []
         if refs is not None:
-            assert len(refs) == len(trgs), "Reference for each target class has to be provided"
-        cols = []
-        if refs is not None:
-            # leading blank cell + reference images header row (sample.py:153-158)
-            header = [np.ones_like(np.asarray(self.load_image(args, refs[0]))[:1])]
-            for ref in refs:
-                header.append(np.asarray(self.load_image(args, ref))[:1])
-            cols.append(np.concatenate(header, axis=2))
-        for i, batch in enumerate(dataloader):
-            rows = [np.asarray(batch)]
+            # header row: blank cell then the style reference images
+            header = [np.ones_like(np.asarray(self._style_image(args, refs[0]))[:1])]
+            header += [np.asarray(self._style_image(args, r))[:1] for r in refs]
+            columns.append(np.concatenate(header, axis=2))
+        for batch in dataloader:
+            row = [np.asarray(batch)]
             for t, trg in enumerate(trgs):
                 if refs is not None:
-                    imgs, dt, mem = self.sample_batch(args, model, state, batch, trg, ref=refs[t], rng=rng)
+                    imgs, dt, mem = self.translate(
+                        args, model, state, batch, trg, style_path=refs[t], rng=rng
+                    )
                 else:
-                    imgs, dt, mem = self.sample_batch(args, model, state, batch, trg, z_sr=z_sr)
-                rows.append(np.asarray(imgs))
-                exetimes.append(dt)
-                memory.append(mem)
-            cols.append(np.concatenate(rows, axis=2))
-        images = np.concatenate(cols, axis=1)
+                    imgs, dt, mem = self.translate(
+                        args, model, state, batch, trg, style_code=style_code
+                    )
+                row.append(np.asarray(imgs))
+                timings.append(dt)
+                mem_gb.append(mem)
+            columns.append(np.concatenate(row, axis=2))
+        grid = np.concatenate(columns, axis=1)
         print(
-            f"Avg execution time : {sum(exetimes) / len(exetimes)}, "
-            f"device memory usage: {sum(memory) / len(memory)}"
+            f"mean forward time: {np.mean(timings):.4f}s over {len(timings)} calls, "
+            f"device memory: {np.mean(mem_gb):.3f} GB"
         )
-        save_image(images[0], "./grid.png")
+        out = os.path.join(args.display_dir, "grid.png")
+        save_image(grid[0], out)
+        print(f"grid written to {out}")
 
-    def generate_multiple_styles(self, args, model, state, image, trg, refs=None, n_samples=4):
-        """1 content x n styles grid (reference sample.py:176-200)."""
+    def generate_multiple_styles(self, args, model, state, image, trg,
+                                 refs: Optional[Sequence[str]] = None, n_samples: int = 4):
+        """One content image rendered with n styles (reference
+        sample.py:176-200)."""
         rng = jax.random.PRNGKey(getattr(args, "seed", 0))
-        images = []
         if isinstance(image, str):
-            image = self.load_image(args, image)
+            image = self._style_image(args, image)
         image = jnp.asarray(image)
+        panels = []
         if refs is not None:
             n_samples = len(refs)
-            for ref in refs:
-                images.append(np.asarray(self.load_image(args, ref))[:1])
-        images.append(np.asarray(image)[:1])
-        for i in range(n_samples):
-            rng, k = jax.random.split(rng)
+            panels += [np.asarray(self._style_image(args, r))[:1] for r in refs]
+        panels.append(np.asarray(image)[:1])
+        for s in range(n_samples):
+            rng, key = jax.random.split(rng)
             if refs is not None:
-                imgs, _, _ = self.sample_batch(args, model, state, image, trg, ref=refs[i], rng=k)
+                imgs, _, _ = self.translate(
+                    args, model, state, image, trg, style_path=refs[s], rng=key
+                )
             else:
-                z_sr = model.get_z_random(k, image.shape[0])
-                imgs, _, _ = self.sample_batch(args, model, state, image, trg, z_sr=z_sr)
-            images.append(np.asarray(imgs)[:1])
-        grid = np.concatenate(images, axis=0)
-        save_image(grid, "./grid.png", nrow=len(images))
+                style_code = model.get_z_random(key, image.shape[0])
+                imgs, _, _ = self.translate(
+                    args, model, state, image, trg, style_code=style_code
+                )
+            panels.append(np.asarray(imgs)[:1])
+        out = os.path.join(args.display_dir, "grid.png")
+        save_image(np.concatenate(panels, axis=0), out, nrow=len(panels))
+        print(f"style grid written to {out}")
 
+    # ------------------------------------------------------------------ #
+    # entry
+    # ------------------------------------------------------------------ #
     def run(self):
-        with TimerBlock("Starting sampling") as block:
+        with TimerBlock("Sampling") as block:
             args = TestArguments().parse()
             model, state = self.load_model(args)
             dataloader = self.load_dataset(args)
             if args.targets is not None:
                 args.targets = [DOMAIN_MAP.index(t) for t in args.targets]
             if args.gen_grid:
-                block.log("Generating image grid")
-                self.generate_image_grid(args, model, state, dataloader, args.reference, args.targets)
+                block.log("Mode: image grid")
+                self.generate_image_grid(args, model, state, dataloader,
+                                         args.reference, args.targets)
             elif args.gen_style:
                 if not args.targets:
                     raise SystemExit(
                         "--gen_style needs a target domain: pass --targets <domain> "
                         f"(one of {DOMAIN_MAP})."
                     )
-                block.log("Generating multiple style image grid")
+                block.log("Mode: multi-style grid")
                 batch = next(iter(dataloader))
                 self.generate_multiple_styles(
                     args, model, state, jnp.asarray(batch), args.targets[0], args.reference
                 )
             else:
-                block.log("Running sample")
+                block.log("Mode: per-target translation")
                 self.sample(args, model, state, dataloader, args.targets, args.reference)
 
 
 if __name__ == "__main__":
-    sampler = Sampler()
-    sampler.run()
+    Sampler().run()
