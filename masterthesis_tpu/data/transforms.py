@@ -133,3 +133,26 @@ class ToTensorTransform:
 
     def __call__(self, img: Image.Image, rng=None) -> np.ndarray:
         return to_array(img)
+
+
+class CleanResize:
+    """cleanfid's 'clean' resize protocol (what the reference's eval used,
+    misc/compute_fid.py:1-9): per-channel float32 PIL bicubic resize to
+    299x299 with NO re-quantization, so no uint8 rounding artifacts enter the
+    FID statistics. Output is float32 HWC in [0, 1]."""
+
+    def __init__(self, size: int = 299):
+        self.size = size
+
+    def __call__(self, img: Image.Image, rng=None) -> np.ndarray:
+        x = np.asarray(img.convert("RGB"), np.float32)
+        chans = [
+            np.asarray(
+                Image.fromarray(x[:, :, c], mode="F").resize(
+                    (self.size, self.size), Image.BICUBIC
+                ),
+                np.float32,
+            )
+            for c in range(x.shape[2])
+        ]
+        return np.ascontiguousarray(np.stack(chans, axis=-1)) / 255.0

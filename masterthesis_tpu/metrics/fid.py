@@ -121,18 +121,37 @@ def compute_fid_from_dirs(
     feature_extractor=None,
     num_features=None,
     weights_path: Optional[str] = None,
+    mode: str = "plain",
 ) -> float:
-    """dir-vs-dir FID (reference fid.py:17-28)."""
+    """dir-vs-dir FID (reference fid.py:17-28).
+
+    ``mode='clean'`` applies cleanfid's resize protocol (host-side
+    unquantized PIL-bicubic resize to 299, the de-facto comparable-FID
+    standard and what the reference's own eval used,
+    misc/compute_fid.py:1-9); 'plain' resizes on device with bilinear like
+    the reference's metrics/fid.py path.
+    """
     from masterthesis_tpu.data.datasets import ImageList
     from masterthesis_tpu.data.loader import DataLoader
 
+    transform = None
+    if mode == "clean":
+        from masterthesis_tpu.data.transforms import CleanResize
+        from masterthesis_tpu.metrics.inception import make_inception_extractor
+
+        transform = CleanResize()
+        if feature_extractor is None and num_features is None:
+            num_features = 2048
+            feature_extractor = make_inception_extractor(weights_path, resize_input=False)
+    elif mode != "plain":
+        raise ValueError(f"unknown FID mode {mode!r}; use 'plain' or 'clean'")
     fid = FID(
         num_features=num_features,
         feature_extractor=feature_extractor,
         weights_path=weights_path,
     )
-    loader1 = DataLoader(ImageList(dirpath1), batch_size=batch_size)
-    loader2 = DataLoader(ImageList(dirpath2), batch_size=batch_size)
+    loader1 = DataLoader(ImageList(dirpath1, transform=transform), batch_size=batch_size)
+    loader2 = DataLoader(ImageList(dirpath2, transform=transform), batch_size=batch_size)
     for img1, img2 in zip(loader1, loader2):
         n = min(len(img1), len(img2))
         fid.update((img1[:n], img2[:n]))

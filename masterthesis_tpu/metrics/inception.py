@@ -211,16 +211,19 @@ def load_inception_params(npz_path: str):
 
 
 def make_inception_extractor(
-    weights_path: Optional[str] = None, dtype=jnp.float32, jit: bool = True
+    weights_path: Optional[str] = None, dtype=jnp.float32, jit: bool = True,
+    resize_input: bool = True,
 ):
     """Return a fn: [0,1] NHWC images -> (N, 2048) features.
 
     ``jit=False`` runs eagerly — useful on hosts where compiling the ~100-conv
     trunk is slower than op-by-op dispatch (e.g. 1-core CI).
+    ``resize_input=False`` expects pre-resized 299x299 input (the clean-fid
+    protocol resizes on host with PIL bicubic instead).
     """
     import warnings
 
-    model = InceptionV3(dtype=dtype)
+    model = InceptionV3(dtype=dtype, resize_input=resize_input)
     dummy = jnp.zeros((1, 64, 64, 3), jnp.float32)
     params = model.init(jax.random.PRNGKey(0), dummy)["params"]
     if weights_path:

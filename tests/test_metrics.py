@@ -68,6 +68,54 @@ def test_lpips_zero_for_identical_and_positive_otherwise():
     assert float(fn(x, y)[0]) > 0
 
 
+def test_clean_resize_is_unquantized():
+    """cleanfid protocol: float PIL bicubic to 299 with NO uint8 rounding."""
+    from PIL import Image
+
+    from masterthesis_tpu.data.transforms import CleanResize
+
+    rng = np.random.default_rng(5)
+    img = Image.fromarray(rng.integers(0, 255, (64, 48, 3), dtype=np.uint8), "RGB")
+    out = CleanResize()(img)
+    assert out.shape == (299, 299, 3)
+    assert out.dtype == np.float32
+    # unquantized: interpolated values are not all exact uint8/255 steps
+    frac = np.abs(out * 255.0 - np.round(out * 255.0))
+    assert frac.max() > 1e-3
+
+
+def test_fid_clean_mode_differs_from_plain(tmp_path):
+    """--mode clean must switch the input protocol: images arrive pre-resized
+    to 299 as unquantized floats instead of raw [0,1] uint8 steps, and the
+    resulting score differs."""
+    from PIL import Image
+
+    from masterthesis_tpu.metrics.fid import compute_fid_from_dirs
+
+    rng = np.random.default_rng(6)
+    for d in ("a", "b"):
+        (tmp_path / d).mkdir()
+        for i in range(3):
+            arr = rng.integers(0, 255, (64, 64, 3), dtype=np.uint8)
+            Image.fromarray(arr).save(tmp_path / d / f"{i}.png")
+
+    seen_sizes = []
+
+    def extractor(x):
+        x = np.asarray(x, np.float64)
+        seen_sizes.append(x.shape[1])
+        return x[:, :4, :4, 0].reshape(len(x), -1)
+
+    kw = dict(feature_extractor=extractor, num_features=16)
+    plain = compute_fid_from_dirs(str(tmp_path / "a"), str(tmp_path / "b"), **kw)
+    clean = compute_fid_from_dirs(
+        str(tmp_path / "a"), str(tmp_path / "b"), mode="clean", **kw
+    )
+    assert 64 in seen_sizes and 299 in seen_sizes  # protocol actually switched
+    assert np.isfinite(plain) and np.isfinite(clean)
+    assert abs(plain - clean) > 1e-9
+
+
 def test_inception_feature_shape():
     import warnings
 
