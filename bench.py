@@ -1,10 +1,12 @@
 """Headline benchmark: 256x256 translations/sec/chip on the flagship
 AdaINModel inference path (content encode + AdaIN decode — reference
-forward_random, base_model.py:112-117).
+forward_random, base_model.py:112-117), plus the full training step
+(D1+D2+G1+G2, one jitted donated call) as a secondary metric.
 
 Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where
 vs_baseline is value / 2000 (the BASELINE.json north-star target of >=2k
-256x256 translations/sec/chip).
+256x256 translations/sec/chip); the training-step throughput rides along
+under "extra_metrics" so regressions in either path are driver-visible.
 """
 from __future__ import annotations
 
@@ -68,8 +70,48 @@ def main():
         "value": round(imgs_per_sec, 2),
         "unit": "img/s",
         "vs_baseline": round(imgs_per_sec / 2000.0, 4),
+        "extra_metrics": [bench_train_step(on_tpu, size, dtype)],
     }
     print(json.dumps(result))
+
+
+def bench_train_step(on_tpu: bool, size: int, dtype: str):
+    """Full main training step (D1+D2+G1+G2 with the content-D confusion
+    term, one jitted donated call) at the flagship config, batch 8."""
+    import jax
+    import jax.numpy as jnp
+
+    from masterthesis_tpu.arguments import default_train_args
+    from masterthesis_tpu.models import AdaINModel
+
+    batch = 8 if on_tpu else 2
+    args = default_train_args(
+        crop_size=size, dim=64 if on_tpu else 16, latent_dim=8, num_domains=4,
+        batch_size=batch, compute_dtype=dtype, use_dis_content=on_tpu,
+        logdir=None, mode="train",
+    )
+    model = AdaINModel(args)
+    state = model.initialize()
+    rng = jax.random.PRNGKey(1)
+    mk = lambda k: jax.random.uniform(  # noqa: E731
+        jax.random.fold_in(rng, k), (batch, size, size, 3), jnp.float32, -1.0, 1.0
+    )
+    y = jax.nn.one_hot(jnp.arange(batch) % args.num_domains, args.num_domains)
+    batch_dict = {"x1": mk(0), "x2": mk(1), "y1": y, "y2": y[::-1]}
+
+    state, logs = model._main_step(state, batch_dict, rng, {})  # compile
+    float(jnp.asarray(logs["total_g"], jnp.float32))
+    iters = 20 if on_tpu else 2
+    start = time.perf_counter()
+    for i in range(iters):
+        state, logs = model._main_step(state, batch_dict, jax.random.fold_in(rng, i), {})
+    float(jnp.asarray(logs["total_g"], jnp.float32))  # forces the whole chain
+    dt = time.perf_counter() - start
+    return {
+        "metric": f"train step it/s (AdaINModel full D+G, {dtype}, batch {batch}, {size}px)",
+        "value": round(iters / dt, 3),
+        "unit": "it/s",
+    }
 
 
 if __name__ == "__main__":

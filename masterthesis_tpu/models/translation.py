@@ -90,10 +90,15 @@ class TranslationModel(Model):
     # ------------------------------------------------------------------ #
     # net application helpers
     # ------------------------------------------------------------------ #
-    def _apply(self, name, params, extra, *args, rngs=None, **kwargs):
+    def _apply(self, name, params, extra, *args, rngs=None, mutable=False, **kwargs):
         variables = {"params": params[name]}
         if extra is not None and extra.get(name):
             variables["spectral"] = extra[name]
+        if mutable:
+            # returns (out, {"spectral": new_u}); only valid when extra is set
+            return self.nets[name].apply(
+                variables, *args, rngs=rngs, mutable=["spectral"], **kwargs
+            )
         return self.nets[name].apply(variables, *args, rngs=rngs, **kwargs)
 
     def encode_content(self, params, extra, img, rng=None, train=False):
@@ -166,15 +171,26 @@ class TranslationModel(Model):
         norms = jnp.sqrt(jnp.sum(jnp.square(grads), axis=(1, 2, 3)) + 1e-12)
         return jnp.mean(jnp.square(norms - 1.0))
 
-    def _d_loss(self, d_name, d_params, params, extra, real, fake, c_org, rng=None):
+    def _d_loss(self, d_name, d_params, params, extra, real, fake, c_org, rng=None,
+                update_u=False):
         """Discriminator loss (reference backward_discriminator
-        base_model.py:226-248 / backward_multi_scale_discriminator :207-224)."""
+        base_model.py:226-248 / backward_multi_scale_discriminator :207-224).
+
+        With ``update_u`` the real-image forward also refreshes the
+        spectral-norm power-iteration vectors, returned in the aux logs under
+        ``_spectral`` — this folds the u update into the grad pass instead of
+        costing an extra D forward per step."""
         a = self.args
         mode = a.gan_mode
         p = {**params, d_name: d_params}
+        new_spectral = None
         if getattr(a, "ms_dis", False):
             outs_fake = self.discriminate(p, extra, d_name, fake)
-            outs_real = self.discriminate(p, extra, d_name, real)
+            if update_u:
+                outs_real, mut = self._apply(d_name, p, extra, real, mutable=True)
+                new_spectral = mut["spectral"]
+            else:
+                outs_real = self.discriminate(p, extra, d_name, real)
             adv = sum(
                 L.gan_loss(of[0], False, mode) + L.gan_loss(orr[0], True, mode)
                 for of, orr in zip(outs_fake, outs_real)
@@ -182,7 +198,13 @@ class TranslationModel(Model):
             cls = sum(L.bce_logits_loss(orr[1], c_org) for orr in outs_real)
         else:
             pred_fake, _ = self.discriminate(p, extra, d_name, fake)
-            pred_real, pred_real_cls = self.discriminate(p, extra, d_name, real)
+            if update_u:
+                (pred_real, pred_real_cls), mut = self._apply(
+                    d_name, p, extra, real, mutable=True
+                )
+                new_spectral = mut["spectral"]
+            else:
+                pred_real, pred_real_cls = self.discriminate(p, extra, d_name, real)
             if getattr(a, "use_ragan", False):
                 adv = L.ragan_loss(pred_real, pred_fake, True, mode)
             elif "hinge" in mode:
@@ -198,6 +220,8 @@ class TranslationModel(Model):
             total = total + lambda_gp * gp
             logs["d_gp"] = gp
             logs["d_total"] = total
+        if new_spectral is not None:
+            logs["_spectral"] = jax.lax.stop_gradient(new_spectral)
         return total, logs
 
     def _g_adv_loss(self, params, extra, real, fake, c_org, d_fake, d_real=None):
@@ -371,29 +395,23 @@ class TranslationModel(Model):
             params, extra, img, c_org, b, z_sr, (ks[0], ks[1], ks[3]), train=True
         )
 
+        use_sn = bool(getattr(a, "dis_sn", False))
         for d_name, fake, prefix in (
             ("discriminator1", img_fake, "d1"),
             ("discriminator2", img_random, "d2"),
         ):
             k_gp = jax.random.fold_in(ks[3], 1 if d_name == "discriminator1" else 2)
             (d_total, d_logs), grads = jax.value_and_grad(self._d_loss, argnums=1, has_aux=True)(
-                d_name, params[d_name], params, extra, img, fake, c_org, k_gp
+                d_name, params[d_name], params, extra, img, fake, c_org, k_gp,
+                update_u=use_sn,  # u refresh folded into this grad pass
             )
+            if use_sn:
+                extra[d_name] = d_logs.pop("_spectral")
             params[d_name], opt_state[d_name] = apply_updates(
                 self.tx[d_name], grads, opt_state[d_name], params[d_name], lr
             )
             logs.update({f"{prefix}_{k}": v for k, v in d_logs.items()})
             logs.update(d_logs)  # reference keys: last write (d2) wins
-
-        # refresh spectral-norm power iteration vectors once per step
-        if getattr(a, "dis_sn", False):
-            for d_name in ("discriminator1", "discriminator2"):
-                _, mut = self.nets[d_name].apply(
-                    {"params": params[d_name], "spectral": extra[d_name]},
-                    img,
-                    mutable=["spectral"],
-                )
-                extra[d_name] = mut["spectral"]
 
         # ------------------- G phase 1 (base_model.py:266-366) ----------- #
         def g1_loss(gparams):

@@ -63,3 +63,87 @@ def test_convert_alexnet_lpips(tmp_path):
     x = jnp.zeros((1, 32, 32, 3))
     d = model.apply({"params": params}, x, x)
     assert float(d[0]) == 0.0
+
+
+def test_basic_conv_matches_torch_conv_bn():
+    """Numeric (not just shape) converter validation: torch Conv2d + BatchNorm2d
+    (eval stats, eps 1e-3 — torchvision BasicConv2d) vs metrics.inception
+    BasicConv on weights mapped by _basic_conv."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import jax
+    import jax.numpy as jnp
+
+    from masterthesis_tpu.metrics.inception import BasicConv
+    from masterthesis_tpu.tools.convert_weights import _basic_conv
+
+    torch.manual_seed(0)
+    conv = torch.nn.Conv2d(8, 16, 3, stride=2, padding=1, bias=False)
+    bn = torch.nn.BatchNorm2d(16, eps=1e-3)
+    # non-trivial frozen stats
+    bn.running_mean.data.normal_()
+    bn.running_var.data.uniform_(0.5, 2.0)
+    bn.weight.data.normal_()
+    bn.bias.data.normal_()
+    bn.eval()
+
+    rng = np.random.default_rng(7)
+    x = rng.normal(size=(2, 8, 10, 10)).astype(np.float32)
+    with torch.no_grad():
+        want = torch.relu(bn(conv(torch.from_numpy(x)))).numpy().transpose(0, 2, 3, 1)
+
+    sd = {
+        "m.conv.weight": conv.weight.detach().numpy(),
+        "m.bn.weight": bn.weight.detach().numpy(),
+        "m.bn.bias": bn.bias.detach().numpy(),
+        "m.bn.running_mean": bn.running_mean.numpy(),
+        "m.bn.running_var": bn.running_var.numpy(),
+    }
+    flat = {}
+    _basic_conv(flat, "m", "m", sd)
+    params = {
+        "conv": {"kernel": jnp.asarray(flat["m/conv/kernel"])},
+        "bn_scale": jnp.asarray(flat["m/bn_scale"]),
+        "bn_bias": jnp.asarray(flat["m/bn_bias"]),
+        "bn_mean": jnp.asarray(flat["m/bn_mean"]),
+        "bn_var": jnp.asarray(flat["m/bn_var"]),
+    }
+    mod = BasicConv(16, (3, 3), stride=2, padding=1)
+    got = np.asarray(mod.apply({"params": params}, jnp.asarray(x.transpose(0, 2, 3, 1))))
+    np.testing.assert_allclose(got, want, atol=1e-5, rtol=1e-4)
+
+
+def test_vgg_conv_matches_torch():
+    """Converted VGG conv layer reproduces torch Conv2d numerics through the
+    extractor (orientation check beyond shapes)."""
+    import pytest
+
+    torch = pytest.importorskip("torch")
+    import jax.numpy as jnp
+
+    from masterthesis_tpu.models.losses import VGGFeatureExtractor, load_vgg_params
+
+    sd = _vgg11_fake_sd()
+    rng = np.random.default_rng(8)
+    x = rng.uniform(-1, 1, (1, 3, 12, 12)).astype(np.float32)
+    # torch side: first conv of vgg11.features on the ImageNet-normalized input
+    x01 = (torch.from_numpy(x) + 1.0) / 2.0
+    mean = torch.tensor([0.485, 0.456, 0.406]).view(1, 3, 1, 1)
+    std = torch.tensor([0.229, 0.224, 0.225]).view(1, 3, 1, 1)
+    xn = (x01 - mean) / std
+    with torch.no_grad():
+        want = torch.conv2d(
+            xn, torch.from_numpy(sd["features.0.weight"]),
+            torch.from_numpy(sd["features.0.bias"]), padding=1,
+        ).numpy().transpose(0, 2, 3, 1)
+
+    import tempfile
+
+    out = convert_vgg(sd, "vgg11")
+    with tempfile.TemporaryDirectory() as d:
+        np.savez(f"{d}/w.npz", **out)
+        params = load_vgg_params(f"{d}/w.npz", ("conv1_1",), "vgg11")
+    mod = VGGFeatureExtractor(("conv1_1",), "vgg11")
+    got = np.asarray(mod.apply(params, jnp.asarray(x.transpose(0, 2, 3, 1)))[0])
+    np.testing.assert_allclose(got, want, atol=1e-4, rtol=1e-4)
