@@ -30,7 +30,10 @@ def save_pytree(tree: Dict[str, Any], path: str) -> None:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()
-        ckptr.save(os.path.abspath(path), _to_host(tree), force=True)
+        # hand orbax the jax.Arrays directly: for mesh-sharded state each
+        # process writes only its addressable shards (np.asarray would fail on
+        # non-fully-addressable arrays under multi-host)
+        ckptr.save(os.path.abspath(path), tree, force=True)
         return
     os.makedirs(os.path.dirname(os.path.abspath(path)), exist_ok=True)
     state = serialization.to_state_dict(_to_host(tree))
@@ -43,6 +46,16 @@ def load_pytree(path: str, template: Optional[Any] = None) -> Any:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.PyTreeCheckpointer()
+        if template is not None:
+            # restore into the template's structure (keeps optax NamedTuples)
+            # AND onto its shardings: template leaves that are mesh-sharded
+            # jax.Arrays come back sharded the same way — the multi-host
+            # restore path (each process reads only its shards).
+            return ckptr.restore(
+                os.path.abspath(path),
+                item=template,
+                restore_args=ocp.checkpoint_utils.construct_restore_args(template),
+            )
         restored = ckptr.restore(os.path.abspath(path))
     else:
         with open(path, "rb") as f:

@@ -25,14 +25,15 @@ class Metrics(ABC):
     def _check_feature_shapes(self, samples) -> None:
         if samples.ndim != 2:
             raise ValueError(
-                f"feature_extractor output must be a tensor of dim 2, got: {samples.ndim}"
+                f"expected (batch, features) from the feature extractor, "
+                f"got a rank-{samples.ndim} array"
             )
         if samples.shape[0] == 0:
-            raise ValueError(f"Batch size should be greater than one, got: {samples.shape[0]}")
+            raise ValueError("feature extractor returned an empty batch")
         if samples.shape[1] != self._num_features:
             raise ValueError(
-                f"num_features returned by feature_extractor should be "
-                f"{self._num_features}, got: {samples.shape[1]}"
+                f"feature width mismatch: metric was built for "
+                f"{self._num_features} features, extractor produced {samples.shape[1]}"
             )
 
     def _extract_features(self, inputs) -> np.ndarray:

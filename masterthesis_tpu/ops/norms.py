@@ -32,10 +32,27 @@ def _moments(x: jnp.ndarray, axes) -> tuple[jnp.ndarray, jnp.ndarray]:
     # centered (two-pass) variance: E[(x-mean)^2]. The one-pass E[x^2]-mean^2
     # form cancels catastrophically in f32 for near-constant inputs (variance
     # can come out below -eps -> rsqrt(NaN)); XLA fuses both passes anyway.
+    #
+    # Measured dead end (kept opt-in as ops/pallas/moments.py, r2): a Pallas
+    # one-pass stats kernel hits ~1.07 ms/0.54 GB standalone (vs 6.9 ms for
+    # the in-model XLA op) — but the in-model op is a conv+stats MULTI-OUTPUT
+    # fusion running at ~90% MXU, i.e. the stats already ride the conv for
+    # free on the VPU. Splitting them out adds a full extra HBM pass (+28 ms
+    # end-to-end on the flagship forward). Profile before "optimizing" reduces.
+    if _use_pallas_moments():
+        from masterthesis_tpu.ops.pallas.moments import moments
+
+        return moments(x, tuple(axes))
     x32 = x.astype(jnp.float32)
     mean = jnp.mean(x32, axis=axes, keepdims=True)
     var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
     return mean, var
+
+
+def _use_pallas_moments() -> bool:
+    import os
+
+    return os.environ.get("MT_PALLAS_MOMENTS") == "1"
 
 
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:

@@ -18,13 +18,15 @@ from masterthesis_tpu.utils import TimerBlock
 
 
 class Trainer:
-    """class used for training (reference train.py:7-67)."""
+    """Owns the host-side training loop; capability parity with reference
+    train.py:7-67 but the loop body is one jitted device step per iteration."""
 
     def load_dataset(self, args):
-        with TimerBlock("Loading Dataset and creating dataloaders") as block:
-            block.log("Create dataset object")
+        with TimerBlock("Building data pipeline") as block:
+            block.log(f"Dataset: {args.dataset.__name__} at {args.dataroot}")
             dataset = args.dataset(args)
-            block.log("Create dataloader")
+            block.log(f"Prefetching loader: batch={args.batch_size}, "
+                      f"host shard {jax.process_index() + 1}/{jax.process_count()}")
             dataloader = DataLoader(
                 dataset,
                 batch_size=args.batch_size,
@@ -84,20 +86,20 @@ class Trainer:
                               f"({rate * imgs_per_item * args.batch_size:.1f} img/s)")
                 if global_iter % args.print_freq == 0:
                     block.log("\n")
-                    block.log(f"Iteration: {global_iter}, LR : {model.get_current_lr(state)}")
+                    block.log(f"iter {global_iter} | lr {model.get_current_lr(state)}")
                     model.write_loss(global_iter)
                     block.log(model.print_losses())
                 if global_iter % args.save_freq == 0:
-                    block.log(f"Saving model inside : {args.checkpoint_dir}")
+                    block.log(f"checkpoint -> {args.checkpoint_dir}")
                     model.save(state, global_iter)
                 if global_iter % args.display_freq == 0 and global_iter % args.d_iter == 0:
-                    block.log("Writing images")
+                    block.log("image grid -> display dir")
                     model.save_images(state, batch, global_iter, rng)
                 global_iter += 1
                 if global_iter > iterations:
-                    block.log(f"Saving model inside : {args.checkpoint_dir}")
+                    block.log(f"final checkpoint -> {args.checkpoint_dir}")
                     model.save(state, global_iter)
-                    block.log("Finished training")
+                    block.log("training complete")
                     return state
 
     def run(self, args):

@@ -45,3 +45,54 @@ def test_fused_adain_under_jit_and_grad():
     g = f(x)
     assert g.shape == x.shape
     assert np.isfinite(np.asarray(g)).all()
+
+
+# --------------------------------------------------------------------------- #
+# one-pass moments kernel (ops/pallas/moments.py) — interpret mode on CPU
+# --------------------------------------------------------------------------- #
+def _ref_moments(x, axes):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=axes, keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=axes, keepdims=True)
+    return mean, var
+
+
+def test_pallas_moments_instance_norm_axes():
+    from masterthesis_tpu.ops.pallas.moments import pallas_moments
+
+    x = jax.random.normal(jax.random.PRNGKey(3), (4, 32, 32, 128), jnp.float32)
+    for layout in ("sbc", "bsc"):
+        got = pallas_moments(x, (1, 2), interpret=True, layout=layout)
+        assert got is not None
+        mean, var = got
+        ref_mean, ref_var = _ref_moments(x, (1, 2))
+        np.testing.assert_allclose(np.asarray(mean), np.asarray(ref_mean), atol=1e-5)
+        np.testing.assert_allclose(np.asarray(var), np.asarray(ref_var), atol=1e-4, rtol=1e-4)
+
+
+def test_pallas_moments_layer_norm_axes():
+    from masterthesis_tpu.ops.pallas.moments import pallas_moments
+
+    x = jax.random.normal(jax.random.PRNGKey(4), (2, 32, 32, 128), jnp.float32) * 1.5 + 0.3
+    mean, var = pallas_moments(x, (1, 2, 3), interpret=True)
+    ref_mean, ref_var = _ref_moments(x, (1, 2, 3))
+    np.testing.assert_allclose(np.asarray(mean), np.asarray(ref_mean), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(var), np.asarray(ref_var), atol=1e-4, rtol=1e-4)
+
+
+def test_moments_custom_vjp_matches_autodiff():
+    from masterthesis_tpu.ops.pallas.moments import moments
+
+    x = jax.random.normal(jax.random.PRNGKey(5), (2, 8, 8, 4)) * 2.0 + 1.0
+
+    def loss_custom(x):
+        mean, var = moments(x, (1, 2))
+        return jnp.sum(jnp.sin(mean) + jnp.cos(var))
+
+    def loss_ref(x):
+        mean, var = _ref_moments(x, (1, 2))
+        return jnp.sum(jnp.sin(mean) + jnp.cos(var))
+
+    g1 = jax.grad(loss_custom)(x)
+    g2 = jax.grad(loss_ref)(x)
+    np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
