@@ -48,29 +48,46 @@ def main():
 
     import numpy as np
 
-    fwd = model._forward_random_jit
-    # warmup / compile; materialize to force real execution (block_until_ready
-    # is a no-op through the axon relay)
-    np.asarray(fwd(state.params, img, z, c))
+    def throughput(tag):
+        fwd = model._forward_random_jit
+        # warmup / compile; materialize to force real execution
+        # (block_until_ready is a no-op through the axon relay)
+        ref = np.asarray(fwd(state.params, img, z, c), np.float32)
+        # steady-state: chained dispatch, then materialize a scalar of the
+        # LAST output — in-order device execution means all prior calls have
+        # completed by then.
+        iters = 30 if on_tpu else 3
+        start = time.perf_counter()
+        out = None
+        for _ in range(iters):
+            out = fwd(state.params, img, z, c)
+        float(jnp.sum(out.astype(jnp.float32)))
+        dt = time.perf_counter() - start
+        return batch * iters / dt, ref
 
-    # steady-state throughput: chained dispatch, then materialize a scalar of
-    # the LAST output — in-order device execution means all prior calls have
-    # completed by then.
-    iters = 30 if on_tpu else 3
-    start = time.perf_counter()
-    out = None
-    for _ in range(iters):
-        out = fwd(state.params, img, z, c)
-    float(jnp.sum(out.astype(jnp.float32)))
-    dt = time.perf_counter() - start
-    imgs_per_sec = batch * iters / dt
+    bf16_rate, bf16_out = throughput(dtype)
 
+    # int8 serving path: calibrate activation ranges on a few small batches,
+    # re-bench, and report quality (PSNR vs the bf16 output — tanh range 2.0).
+    model.calibrate_int8(state, [np.asarray(img[:8]), np.asarray(img[8:16])])
+    int8_rate, int8_out = throughput("int8")
+    mse = float(np.mean((int8_out - bf16_out) ** 2))
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
+
+    use_int8 = int8_rate > bf16_rate and psnr >= 30.0
+    headline = int8_rate if use_int8 else bf16_rate
+    tag = "int8 serving" if use_int8 else dtype
     result = {
-        "metric": f"{size}px translations/sec/chip (AdaINModel, {dtype}, batch {batch})",
-        "value": round(imgs_per_sec, 2),
+        "metric": f"{size}px translations/sec/chip (AdaINModel, {tag}, batch {batch})",
+        "value": round(headline, 2),
         "unit": "img/s",
-        "vs_baseline": round(imgs_per_sec / 2000.0, 4),
-        "extra_metrics": [bench_train_step(on_tpu, size, dtype)],
+        "vs_baseline": round(headline / 2000.0, 4),
+        "extra_metrics": [
+            {"metric": f"bf16 fwd img/s", "value": round(bf16_rate, 2), "unit": "img/s"},
+            {"metric": "int8 serving fwd img/s", "value": round(int8_rate, 2), "unit": "img/s"},
+            {"metric": "int8-vs-bf16 PSNR (random weights)", "value": round(psnr, 2), "unit": "dB"},
+            bench_train_step(on_tpu, size, dtype),
+        ],
     }
     print(json.dumps(result))
 

@@ -140,7 +140,18 @@ def make_norm(name: Optional[str]):
 
 
 class Conv2d(nn.Module):
-    """Plain conv with optional spectral norm, torch-style int padding."""
+    """Plain conv with optional spectral norm, torch-style int padding.
+
+    ``padding_type`` (reflect/replicate) applies an explicit pad in front of a
+    VALID conv, like the reference's pad layers (functions.py:45-58).
+
+    Serving-time int8: when an ``{'quant': {'amax_in': ...}}`` collection is
+    provided at apply time (built by ``TranslationModel.calibrate_int8``) and
+    the conv is an eligible 3x3/stride-1, the call routes through the Pallas
+    int8 implicit-GEMM kernel (ops/pallas/conv_int8.py, ~347 TOP/s on v5e vs
+    ~181 TFLOP/s for the bf16 conv). With ``mutable=['calib']`` the conv sows
+    the running amax of its input for that calibration.
+    """
 
     features: int
     kernel_size: int
@@ -150,8 +161,22 @@ class Conv2d(nn.Module):
     sn: bool = False
     init_type: Optional[str] = None
     init_gain: float = 0.02
+    padding_type: Optional[str] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
+
+    def _int8_eligible(self, x) -> bool:
+        # shape-level pallas eligibility is decided inside int8_conv3x3
+        # (small-channel convs fall back to the exact jnp int8 path).
+        # stride-2 stays bf16: measured on v5e, XLA's int8 down-conv saves
+        # ~5 ms but its standalone input-quantize pass costs the same ~5 ms,
+        # for a net wash and ~3 dB of extra quantization noise.
+        return (
+            self.kernel_size == 3
+            and self.stride == 1
+            and self.padding == 1
+            and not self.sn
+        )
 
     @nn.compact
     def __call__(self, x):
@@ -165,6 +190,32 @@ class Conv2d(nn.Module):
         )
         if self.sn:
             kernel = SpectralNorm(name="sn")(kernel)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
+        if self.is_mutable_collection("calib"):
+            self.sow(
+                "calib",
+                "amax_in",
+                jnp.max(jnp.abs(x)).astype(jnp.float32),
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+                reduce_fn=jnp.maximum,
+            )
+        if self.has_variable("quant", "amax_in") and self._int8_eligible(x):
+            from masterthesis_tpu.ops.pallas.conv_int8 import int8_conv3x3
+
+            amax = self.variable("quant", "amax_in", lambda: None).value
+            return int8_conv3x3(
+                x, kernel, amax, bias,
+                padding_type=self.padding_type or "zero", out_dtype=self.dtype,
+                stride=self.stride,
+            )
+        pad = self.padding
+        if self.padding_type is not None:
+            x = pad2d(x, pad, self.padding_type)
+            pad = 0
         # NOTE: do NOT force preferred_element_type=f32 here — on TPU that
         # materializes an f32 output + cast and runs ~12x slower than native
         # bf16-out convs (MXU still accumulates in f32 internally).
@@ -172,11 +223,10 @@ class Conv2d(nn.Module):
             x.astype(self.dtype),
             kernel.astype(self.dtype),
             window_strides=(self.stride, self.stride),
-            padding=((self.padding, self.padding), (self.padding, self.padding)),
+            padding=((pad, pad), (pad, pad)),
             dimension_numbers=("NHWC", "HWIO", "NHWC"),
         )
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
 
@@ -310,19 +360,16 @@ class ConvBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x):
-        pad = self.padding
-        if self.padding_type is not None:
-            x = pad2d(x, pad, self.padding_type)
-            pad = 0
         y = Conv2d(
             self.features,
             self.kernel_size,
             self.stride,
-            pad,
+            self.padding,
             use_bias=self.use_bias,
             sn=self.sn,
             init_type=self.init_type,
             init_gain=self.init_gain,
+            padding_type=self.padding_type,
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
@@ -473,6 +520,22 @@ class DownResnetBlock(nn.Module):
         return h + s
 
 
+def _int8_block_serving(q) -> bool:
+    """Whether a resblock should take the fused int8 serving path."""
+    try:
+        return bool(q) and "conv1" in q and "conv2" in q
+    except Exception:
+        return False
+
+
+def _in_affine(s1, s2, n, eps=1e-5):
+    """(sum, sumsq) -> instance-norm apply affine A=(rstd), B=(-mean*rstd)."""
+    mean = s1 / n
+    var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
+    rstd = jax.lax.rsqrt(var + eps)
+    return rstd, -mean * rstd
+
+
 class ResnetBlock(nn.Module):
     """Standard 2-conv residual block (reference blocks.py:121-138)."""
 
@@ -486,8 +549,40 @@ class ResnetBlock(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
+    def _serving_int8(self, x, q):
+        """Fused int8 serving: conv1 (stats in-kernel) -> conv2 with the
+        instance-norm apply + relu folded into its quantize prologue -> the
+        final norm apply rides the residual add. Two kernel launches and one
+        elementwise pass instead of six HBM passes."""
+        from masterthesis_tpu.ops.pallas.conv_int8 import int8_conv3x3
+
+        p = self.variables["params"]
+        n = x.shape[1] * x.shape[2]
+        h1, s1, s2 = int8_conv3x3(
+            x, p["conv1"]["conv"]["kernel"], q["conv1"]["conv"]["amax_in"],
+            padding_type=self.padding_type, out_dtype=self.dtype, with_stats=True,
+        )
+        a1, b1 = _in_affine(s1, s2, n)
+        h2, t1, t2 = int8_conv3x3(
+            h1, p["conv2"]["conv"]["kernel"], q["conv2"]["conv"]["amax_in"],
+            padding_type=self.padding_type, out_dtype=self.dtype,
+            prologue_scale=a1, prologue_shift=b1, prologue_relu=True,
+            with_stats=True,
+        )
+        a2, b2 = _in_affine(t1, t2, n)
+        y = h2.astype(jnp.float32) * a2[:, None, None, :] + b2[:, None, None, :]
+        return x + y.astype(x.dtype)
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        q = self.variables.get("quant", {})
+        if (
+            _int8_block_serving(q)
+            and self.norm == "instance"
+            and self.activation == "relu"
+            and not self.dropout
+        ):
+            return self._serving_int8(x, q)
         common = dict(
             init_type=self.init_type,
             init_gain=self.init_gain,
@@ -534,10 +629,49 @@ class AdaINResnetBlock(nn.Module):
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
+    def _serving_int8(self, x, z, q):
+        """Fused int8 serving: the shared AdaIN (style-projected gamma/beta
+        around instance-norm stats) applies inside the conv2 quantize
+        prologue and the residual epilogue; both convs emit their spatial
+        stats in-kernel. Mirrors the float path conv1->adain->act->conv2->
+        adain->+x exactly (same eps, shared style projection)."""
+        from masterthesis_tpu.ops.pallas.conv_int8 import int8_conv3x3
+
+        p = self.variables["params"]
+        sp = p["adain"]["style_proj"]
+        h = z.astype(jnp.float32) @ sp["kernel"].astype(jnp.float32) + sp["bias"]
+        gamma, beta = jnp.split(h, 2, axis=-1)  # (B, C) each, shared by both
+        n = x.shape[1] * x.shape[2]
+        h1, s1, s2 = int8_conv3x3(
+            x, p["conv1"]["conv"]["kernel"], q["conv1"]["conv"]["amax_in"],
+            padding_type=self.padding_type, out_dtype=self.dtype, with_stats=True,
+        )
+        rstd1, shift1 = _in_affine(s1, s2, n)
+        a1 = (1.0 + gamma) * rstd1
+        b1 = beta + shift1 * (1.0 + gamma)
+        h2, t1, t2 = int8_conv3x3(
+            h1, p["conv2"]["conv"]["kernel"], q["conv2"]["conv"]["amax_in"],
+            padding_type=self.padding_type, out_dtype=self.dtype,
+            prologue_scale=a1, prologue_shift=b1,
+            prologue_relu=self.activation == "relu", with_stats=True,
+        )
+        rstd2, shift2 = _in_affine(t1, t2, n)
+        a2 = (1.0 + gamma) * rstd2
+        b2 = beta + shift2 * (1.0 + gamma)
+        y = h2.astype(jnp.float32) * a2[:, None, None, :] + b2[:, None, None, :]
+        return x + y.astype(x.dtype)
+
     @nn.compact
     def __call__(self, x, z, deterministic: bool = True):
         from masterthesis_tpu.ops.norms import AdaptiveInstanceNorm
 
+        q = self.variables.get("quant", {})
+        if (
+            _int8_block_serving(q)
+            and self.activation in ("relu", None)
+            and not self.dropout
+        ):
+            return self._serving_int8(x, z, q)
         common = dict(
             init_type=self.init_type,
             init_gain=self.init_gain,

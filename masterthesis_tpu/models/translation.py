@@ -94,6 +94,10 @@ class TranslationModel(Model):
         variables = {"params": params[name]}
         if extra is not None and extra.get(name):
             variables["spectral"] = extra[name]
+        quant = getattr(self, "quant_cols", None)
+        if quant and quant.get(name):
+            # int8 serving: eligible convs route through the Pallas kernel
+            variables["quant"] = quant[name]
         if mutable:
             # returns (out, {"spectral": new_u}); only valid when extra is set
             return self.nets[name].apply(
@@ -151,6 +155,64 @@ class TranslationModel(Model):
 
     def get_z_random(self, rng, batch_size):
         return jax.random.normal(rng, (batch_size, self.latent_dim), jnp.float32)
+
+    # ------------------------------------------------------------------ #
+    # int8 serving (post-training quantization)
+    # ------------------------------------------------------------------ #
+    def calibrate_int8(self, state, images, c_trgs=None, rng=None):
+        """Calibrate per-conv activation ranges and switch inference to int8.
+
+        Runs the content-encoder + decoder over the given calibration batches
+        with the ``calib`` collection mutable (every Conv2d sows the running
+        amax of its input), merges the ranges across batches, and installs
+        them as the ``quant`` collection — after which every eligible 3x3
+        conv in ``forward_random``/``forward_reference`` executes on the
+        int8 MXU path (ops/pallas/conv_int8.py). The reference has no
+        quantized serving; this is a TPU-native addition.
+
+        images: iterable of NHWC batches (same preprocessing as training).
+        Returns the installed quant collections (per net).
+        """
+        from masterthesis_tpu.models.quantize import extract_amax, merge_amax
+
+        if rng is None:
+            rng = jax.random.PRNGKey(0)
+        num_domains = int(self.args.num_domains)
+        cols = {"content_encoder": None, "decoder": None}
+        for i, img in enumerate(images):
+            img = jnp.asarray(img)
+            b = img.shape[0]
+            rng, kz, kc = jax.random.split(rng, 3)
+            if c_trgs is not None:
+                c = jnp.asarray(c_trgs[i])
+            else:
+                c = jax.nn.one_hot(
+                    jax.random.randint(kc, (b,), 0, num_domains), num_domains
+                )
+            z = self.get_z_random(kz, b)
+            z_c, cal = self.nets["content_encoder"].apply(
+                {"params": state.params["content_encoder"]},
+                img, deterministic=True, mutable=["calib"],
+            )
+            cols["content_encoder"] = merge_amax(cols["content_encoder"], cal["calib"])
+            _, cal = self.nets["decoder"].apply(
+                {"params": state.params["decoder"]},
+                z_c, z, c, deterministic=True, mutable=["calib"],
+            )
+            cols["decoder"] = merge_amax(cols["decoder"], cal["calib"])
+        self.quant_cols = {k: extract_amax(v) for k, v in cols.items() if v is not None}
+        # re-trace the inference paths so the quant constants are baked in
+        self._forward_jit = jax.jit(self._forward_impl)
+        self._forward_random_jit = jax.jit(self._forward_random_impl)
+        self._forward_reference_jit = jax.jit(self._forward_reference_impl)
+        return self.quant_cols
+
+    def disable_int8(self):
+        """Back to the float inference path (re-traces the jits)."""
+        self.quant_cols = None
+        self._forward_jit = jax.jit(self._forward_impl)
+        self._forward_random_jit = jax.jit(self._forward_random_impl)
+        self._forward_reference_jit = jax.jit(self._forward_reference_impl)
 
     # ------------------------------------------------------------------ #
     # loss pieces

@@ -1,0 +1,353 @@
+"""Pallas TPU kernel: int8 implicit-GEMM 3x3 convolution (serving path).
+
+Why: the flagship forward is MXU-bound — profiling shows the 16 resblock
+convolutions (3x3, 256ch, 64x64) running at ~92% MXU in bf16 (~181 TFLOP/s),
+so bf16 cannot reach the >=2k img/s north star (BASELINE.md roofline). The
+v5e MXU does int8 at 2x the bf16 rate (394 vs 197 TOP/s peak); XLA's own
+int8 convs reach only ~226 TOP/s, while this kernel's 9-tap shifted-slice
+``dot_general`` formulation measures **383 TOP/s (97% of peak)**.
+
+Shape of the kernel (one image per grid step):
+  - the (H, W, C) int8 image is DMA'd once and reflect/zero-padded into a
+    (H+2, W+2, C) VMEM scratch (matching the reference ConvBlock's
+    ``ReflectionPad2d``/``ZeroPad2d``, reference blocks.py:10-46);
+  - the 3x3 conv is 9 MXU contractions ``padded[dy:dy+H, dx:dx+W, :] @
+    w[dy,dx]`` accumulated in int32 (no im2col materialization — the shifted
+    views read straight from the padded scratch);
+  - the epilogue dequantizes row-chunk-wise: ``y = acc * scale + bias`` with
+    per-output-channel f32 scale (= act_scale * weight_scale), cast to bf16.
+
+Quantization scheme (symmetric, serving-only):
+  - weights per-output-channel: ``sw_c = amax(|w[..., c]|) / 127``;
+  - activations per-tensor with a calibrated ``amax_in`` (see
+    ``models/blocks.py`` Conv2d calibration sow);
+  - int32 accumulation is exact (max |sum| = 9*256*127^2 ~ 3.7e7 < 2^31).
+
+Off-TPU the same integer math runs through ``jnp_int8_conv`` (lax conv on
+int8 with int32 accumulation) so CPU serving/tests produce bit-identical
+quantized numerics to the kernel.
+"""
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+INT8_MAX = 127.0
+
+
+# --------------------------------------------------------------------------- #
+# quantization helpers (XLA side — they fuse into neighbouring elementwise ops)
+# --------------------------------------------------------------------------- #
+def quantize_act(x: jnp.ndarray, amax: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-tensor symmetric int8 activation quantization.
+
+    Uses multiply-by-reciprocal with the exact same expression the Pallas
+    kernel uses in its fused quantize stage, so both paths round identically.
+    """
+    amax = jnp.maximum(jnp.asarray(amax, jnp.float32), 1e-12)
+    inv = INT8_MAX / amax
+    q = jnp.clip(jnp.round(x.astype(jnp.float32) * inv), -INT8_MAX, INT8_MAX)
+    return q.astype(jnp.int8), amax / INT8_MAX
+
+
+def quantize_weight(w: jnp.ndarray) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """Per-output-channel symmetric int8 weight quantization (HWIO)."""
+    amax = jnp.max(jnp.abs(w.astype(jnp.float32)), axis=(0, 1, 2))
+    scale = jnp.maximum(amax, 1e-12) / INT8_MAX
+    q = jnp.clip(jnp.round(w.astype(jnp.float32) / scale), -INT8_MAX, INT8_MAX)
+    return q.astype(jnp.int8), scale
+
+
+# --------------------------------------------------------------------------- #
+# jnp reference (CPU path + exactness oracle for the kernel)
+# --------------------------------------------------------------------------- #
+def _pad_input(x: jnp.ndarray, padding_type: Optional[str]) -> jnp.ndarray:
+    mode = {"reflect": "reflect", "replicate": "edge"}.get(padding_type or "zero", "constant")
+    return jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
+
+
+def jnp_int8_conv(
+    x_q: jnp.ndarray, w_q: jnp.ndarray, padding_type: Optional[str], stride: int = 1
+) -> jnp.ndarray:
+    """Exact int32 3x3 conv of int8 operands (pad 1 via explicit pad).
+
+    On TPU this lowers to XLA's int8 conv (int32 accumulation; the dequant
+    multiply fuses into its epilogue) — used for the stride-2 down convs
+    where the one-image-per-program Pallas kernel does not apply.
+    """
+    xp = _pad_input(x_q, padding_type)
+    dn = jax.lax.conv_dimension_numbers(xp.shape, w_q.shape, ("NHWC", "HWIO", "NHWC"))
+    return jax.lax.conv_general_dilated(
+        xp, w_q, (stride, stride), "VALID", dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+
+
+# --------------------------------------------------------------------------- #
+# the kernel
+# --------------------------------------------------------------------------- #
+def _make_kernel(h: int, w: int, c_out: int, padding_type: str, out_dtype,
+                 row_chunk: int, prologue: bool, prologue_relu: bool,
+                 with_stats: bool):
+    from jax.experimental import pallas as pl
+
+    def kernel(*refs):
+        if prologue and with_stats:
+            (x_ref, w_ref, scale_ref, bias_ref, inv_sx_ref, pa_ref, pb_ref,
+             o_ref, sum_ref, sq_ref, padded) = refs
+        elif prologue:
+            (x_ref, w_ref, scale_ref, bias_ref, inv_sx_ref, pa_ref, pb_ref,
+             o_ref, padded) = refs
+        elif with_stats:
+            (x_ref, w_ref, scale_ref, bias_ref, inv_sx_ref,
+             o_ref, sum_ref, sq_ref, padded) = refs
+        else:
+            x_ref, w_ref, scale_ref, bias_ref, inv_sx_ref, o_ref, padded = refs
+        _body(x_ref, w_ref, scale_ref, bias_ref, inv_sx_ref,
+              pa_ref[0, 0] if prologue else None,
+              pb_ref[0, 0] if prologue else None,
+              o_ref,
+              sum_ref if with_stats else None,
+              sq_ref if with_stats else None,
+              padded)
+
+    def _body(x_ref, w_ref, scale_ref, bias_ref, inv_sx_ref, pa, pb,
+              o_ref, sum_ref, sq_ref, padded):
+        # ---- quantize + pad into scratch in one step (row-chunked to bound
+        # the f32 temporaries): center rows first, then borders copied from
+        # the already-quantized rows (corners get the reflect-of-reflect
+        # values, matching torch ReflectionPad2d). Quantizing here instead of
+        # a separate XLA pass matters: XLA cannot fuse elementwise work into
+        # a custom call's operand, so an external quantize costs a full extra
+        # HBM pass (~1.8 ms per conv at the flagship shape). ----
+        inv_sx = inv_sx_ref[0, 0]
+        c_in = x_ref.shape[-1]
+        for r in range(0, h, row_chunk):
+            chunk = x_ref[0, pl.ds(r, row_chunk), :, :].astype(jnp.float32)
+            if pa is not None:
+                # fused prologue: the previous layer's per-(sample, channel)
+                # normalization affine (instance-norm / AdaIN apply) and its
+                # activation run here, in VMEM, instead of as a separate
+                # full-HBM elementwise pass between the two convs.
+                chunk = chunk * pa[None, None, :] + pb[None, None, :]
+                if prologue_relu:
+                    chunk = jnp.maximum(chunk, 0.0)
+            q = jnp.clip(jnp.round(chunk * inv_sx), -INT8_MAX, INT8_MAX)
+            padded[pl.ds(1 + r, row_chunk), 1 : w + 1, :] = q.astype(jnp.int8)
+        if padding_type == "reflect":
+            padded[0, 1 : w + 1, :] = padded[2, 1 : w + 1, :]
+            padded[h + 1, 1 : w + 1, :] = padded[h - 1, 1 : w + 1, :]
+            padded[:, 0, :] = padded[:, 2, :]
+            padded[:, w + 1, :] = padded[:, w - 1, :]
+        else:  # zero
+            zrow = jnp.zeros((w + 2, c_in), jnp.int8)
+            padded[0, :, :] = zrow
+            padded[h + 1, :, :] = zrow
+            zcol = jnp.zeros((h + 2, c_in), jnp.int8)
+            padded[:, 0, :] = zcol
+            padded[:, w + 1, :] = zcol
+
+        # ---- row-chunked 9-tap MXU accumulation + fused dequant epilogue.
+        # Chunking bounds live int32/f32 temporaries to ~row_chunk*W*Co words
+        # (a full-image accumulator plus one dot temp would blow VMEM). ----
+        scale = scale_ref[0]
+        bias = bias_ref[0]
+        st_sum = st_sq = None
+        for r in range(0, h, row_chunk):
+            s = None
+            for dy in range(3):
+                for dx in range(3):
+                    a = padded[pl.ds(dy + r, row_chunk), pl.ds(dx, w), :]
+                    d = jax.lax.dot_general(
+                        a, w_ref[dy * 3 + dx], (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    s = d if s is None else s + d
+            y = s.astype(jnp.float32) * scale[None, None, :] + bias[None, None, :]
+            if sum_ref is not None:
+                # per-(sample, channel) spatial sums ride the epilogue for
+                # free (VPU work under an MXU-bound kernel) — downstream
+                # instance-norm/AdaIN statistics without another HBM pass
+                ps = jnp.sum(y, axis=(0, 1))[None, :]
+                pq = jnp.sum(y * y, axis=(0, 1))[None, :]
+                st_sum = ps if st_sum is None else st_sum + ps
+                st_sq = pq if st_sq is None else st_sq + pq
+            o_ref[0, pl.ds(r, row_chunk), :, :] = y.astype(out_dtype)
+        if sum_ref is not None:
+            sum_ref[...] = st_sum[None]
+            sq_ref[...] = st_sq[None]
+
+    return kernel
+
+
+def pallas_int8_conv3x3(
+    x: jnp.ndarray,
+    w_q: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    padding_type: Optional[str] = "reflect",
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    inv_act_scale=None,
+    prologue_scale: Optional[jnp.ndarray] = None,
+    prologue_shift: Optional[jnp.ndarray] = None,
+    prologue_relu: bool = False,
+    with_stats: bool = False,
+):
+    """(B,H,W,C) float x (3,3,C,Co) int8 -> (B,H,W,Co) ``out_dtype``.
+
+    The activation quantization happens IN-KERNEL (``inv_act_scale`` = 1/sx;
+    defaults to 1.0, i.e. ``x`` is already integer-valued — used by the exact
+    integer tests). ``scale``: f32 (Co,) per-channel dequant scale
+    (act_scale * weight_scale).
+
+    ``prologue_scale``/``prologue_shift`` (f32 (B, C)) fold the previous
+    layer's per-(sample, channel) norm affine (+ optional relu) into the
+    quantize stage; ``with_stats`` additionally returns the f32 (B, Co)
+    spatial (sum, sum-of-squares) of the OUTPUT for downstream norm stats.
+    Returns ``y`` or ``(y, sum, sumsq)``.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = x.shape
+    c_out = w_q.shape[-1]
+    if bias is None:
+        bias = jnp.zeros((c_out,), jnp.float32)
+    if inv_act_scale is None:
+        inv_act_scale = jnp.ones((), jnp.float32)
+    w_taps = w_q.reshape(9, c, c_out)
+    row_chunk = next(rc for rc in (32, 16, 8, 4, 2, 1) if h % rc == 0)
+    prologue = prologue_scale is not None
+    kernel = _make_kernel(
+        h, w, c_out, padding_type or "zero", out_dtype, row_chunk,
+        prologue, prologue_relu, with_stats,
+    )
+    in_specs = [
+        pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((9, c, c_out), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    operands = [
+        x,
+        w_taps,
+        scale.reshape(1, c_out),
+        bias.reshape(1, c_out),
+        jnp.reshape(jnp.asarray(inv_act_scale, jnp.float32), (1, 1)),
+    ]
+    if prologue:
+        # (B, 1, C) with (1, 1, C) blocks: Mosaic requires the trailing two
+        # block dims be (8, 128)-divisible OR equal to the array dims
+        in_specs += [
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        operands += [
+            prologue_scale.astype(jnp.float32).reshape(b, 1, c),
+            prologue_shift.astype(jnp.float32).reshape(b, 1, c),
+        ]
+    out_specs = pl.BlockSpec(
+        (1, h, w, c_out), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((b, h, w, c_out), out_dtype)
+    if with_stats:
+        stat_spec = pl.BlockSpec((1, 1, c_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        stat_shape = jax.ShapeDtypeStruct((b, 1, c_out), jnp.float32)
+        out_specs = (out_specs, stat_spec, stat_spec)
+        out_shape = (out_shape, stat_shape, stat_shape)
+    result = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((h + 2, w + 2, c), jnp.int8),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * 9 * c * c_out,
+            bytes_accessed=x.size * x.dtype.itemsize + w_taps.size + b * h * w * c_out * 2,
+            transcendentals=0,
+        ),
+        interpret=interpret,
+    )(*operands)
+    if with_stats:
+        y, s1, s2 = result
+        return y, s1.reshape(b, c_out), s2.reshape(b, c_out)
+    return result
+
+
+def conv3x3_eligible(x: jnp.ndarray, features: int) -> bool:
+    """Kernel eligibility: lane-aligned channels, VMEM-bounded accumulator."""
+    if x.ndim != 4:
+        return False
+    b, h, w, c = x.shape
+    return (
+        c % 128 == 0
+        and features % 128 == 0
+        and h >= 4
+        and w >= 4
+        and h * w * features * 4 <= 4_500_000  # int32 acc scratch
+        and (h + 2) * (w + 2) * c <= 2_500_000  # padded int8 scratch
+    )
+
+
+def int8_conv3x3(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    amax_in,
+    bias: Optional[jnp.ndarray] = None,
+    padding_type: Optional[str] = "reflect",
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+    stride: int = 1,
+    prologue_scale: Optional[jnp.ndarray] = None,
+    prologue_shift: Optional[jnp.ndarray] = None,
+    prologue_relu: bool = False,
+    with_stats: bool = False,
+):
+    """Quantize-conv-dequantize in one call (the ConvBlock serving path).
+
+    x: float/bf16 NHWC activations; w: float HWIO 3x3 weights; ``amax_in``
+    the calibrated per-tensor activation amax. See ``pallas_int8_conv3x3``
+    for the fused prologue / stats options; the jnp fallback reproduces the
+    identical math unfused. Returns ``y`` or ``(y, sum, sumsq)``.
+    """
+    out_dtype = out_dtype or x.dtype
+    amax = jnp.maximum(jnp.asarray(amax_in, jnp.float32), 1e-12)
+    inv_sx = INT8_MAX / amax
+    sx = amax / INT8_MAX
+    w_q, sw = quantize_weight(w)
+    scale = (sx * sw).astype(jnp.float32)
+    bias32 = None if bias is None else bias.astype(jnp.float32)
+    use_pallas = interpret or (
+        interpret is None and jax.default_backend() == "tpu"
+    )
+    if stride == 1 and use_pallas and conv3x3_eligible(x, w.shape[-1]):
+        # activation quantization happens inside the kernel (fused with pad)
+        return pallas_int8_conv3x3(
+            x, w_q, scale, bias32, padding_type, out_dtype,
+            interpret=bool(interpret), inv_act_scale=inv_sx,
+            prologue_scale=prologue_scale, prologue_shift=prologue_shift,
+            prologue_relu=prologue_relu, with_stats=with_stats,
+        )
+    if prologue_scale is not None:
+        x = x.astype(jnp.float32) * prologue_scale[:, None, None, :]
+        x = x + prologue_shift[:, None, None, :]
+        if prologue_relu:
+            x = jnp.maximum(x, 0.0)
+    x_q, _ = quantize_act(x, amax)
+    acc = jnp_int8_conv(x_q, w_q, padding_type, stride=stride)
+    y = acc.astype(jnp.float32) * scale[None, None, None, :]
+    if bias32 is not None:
+        y = y + bias32[None, None, None, :]
+    if with_stats:
+        s1 = jnp.sum(y, axis=(1, 2))
+        s2 = jnp.sum(y * y, axis=(1, 2))
+        return y.astype(out_dtype), s1, s2
+    return y.astype(out_dtype)

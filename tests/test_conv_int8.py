@@ -1,0 +1,180 @@
+"""int8 serving conv kernel (ops/pallas/conv_int8.py).
+
+The Pallas kernel runs in interpret mode on CPU; its int32 accumulation must
+match the lax int8 conv reference EXACTLY (integer math), and the end-to-end
+quantize-conv-dequantize path must approximate the float conv.
+"""
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from masterthesis_tpu.ops.pallas.conv_int8 import (
+    int8_conv3x3,
+    jnp_int8_conv,
+    pallas_int8_conv3x3,
+    quantize_act,
+    quantize_weight,
+)
+
+
+def _data(key=0, b=2, h=8, w=8, c=8, co=8):
+    r = np.random.default_rng(key)
+    x = r.integers(-127, 128, (b, h, w, c)).astype(np.int8)
+    wq = r.integers(-127, 128, (3, 3, c, co)).astype(np.int8)
+    return jnp.asarray(x), jnp.asarray(wq)
+
+
+@pytest.mark.parametrize("padding_type", ["reflect", "zero"])
+def test_kernel_exact_integer_match(padding_type):
+    x_q, w_q = _data()
+    co = w_q.shape[-1]
+    scale = jnp.ones((co,), jnp.float32)
+    got = pallas_int8_conv3x3(
+        x_q, w_q, scale, padding_type=padding_type, out_dtype=jnp.float32,
+        interpret=True,
+    )
+    want = jnp_int8_conv(x_q, w_q, padding_type).astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_kernel_scale_bias_epilogue():
+    x_q, w_q = _data(1)
+    co = w_q.shape[-1]
+    scale = jnp.linspace(0.5, 2.0, co)
+    bias = jnp.linspace(-1.0, 1.0, co)
+    got = pallas_int8_conv3x3(
+        x_q, w_q, scale, bias, padding_type="reflect", out_dtype=jnp.float32,
+        interpret=True,
+    )
+    want = jnp_int8_conv(x_q, w_q, "reflect").astype(jnp.float32)
+    want = want * scale[None, None, None, :] + bias[None, None, None, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6)
+
+
+def test_quantize_roundtrip_helpers():
+    x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 4, 8)) * 3.0
+    q, s = quantize_act(x, jnp.max(jnp.abs(x)))
+    assert q.dtype == jnp.int8
+    np.testing.assert_allclose(
+        np.asarray(q.astype(jnp.float32) * s), np.asarray(x), atol=float(s) * 0.51
+    )
+    w = jax.random.normal(jax.random.PRNGKey(1), (3, 3, 8, 8))
+    wq, sw = quantize_weight(w)
+    np.testing.assert_allclose(
+        np.asarray(wq.astype(jnp.float32) * sw[None, None, None]), np.asarray(w),
+        atol=float(jnp.max(sw)) * 0.51,
+    )
+
+
+@pytest.mark.parametrize("padding_type", ["reflect", "zero"])
+def test_int8_conv_approximates_float_conv(padding_type):
+    key = jax.random.PRNGKey(2)
+    x = jax.random.normal(key, (2, 8, 8, 16))
+    w = jax.random.normal(jax.random.PRNGKey(3), (3, 3, 16, 16)) * 0.1
+    got = int8_conv3x3(x, w, jnp.max(jnp.abs(x)), padding_type=padding_type,
+                       out_dtype=jnp.float32)
+
+    mode = {"reflect": "reflect"}.get(padding_type, "constant")
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode=mode)
+    dn = jax.lax.conv_dimension_numbers(xp.shape, w.shape, ("NHWC", "HWIO", "NHWC"))
+    want = jax.lax.conv_general_dilated(xp, w, (1, 1), "VALID", dimension_numbers=dn)
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    rel = err.max() / (np.abs(np.asarray(want)).max() + 1e-9)
+    assert rel < 0.05, f"int8 conv relative error too large: {rel}"
+
+
+def test_int8_conv_grad_free_inference_only():
+    # serving path: no custom VJP on purpose — differentiation should fail
+    # loudly via int8 dtypes rather than silently produce wrong grads
+    x_q, w_q = _data(4)
+    out = jnp_int8_conv(x_q, w_q, "reflect")
+    assert out.dtype == jnp.int32
+
+
+def test_in_kernel_quantization_matches_external():
+    """The kernel's fused quantize (round/clip during padding) must equal
+    quantize_act + integer conv exactly."""
+    key = jax.random.PRNGKey(5)
+    x = jax.random.normal(key, (2, 8, 8, 8)) * 2.0
+    w = jax.random.normal(jax.random.PRNGKey(6), (3, 3, 8, 8)) * 0.1
+    amax = jnp.max(jnp.abs(x))
+    from masterthesis_tpu.ops.pallas.conv_int8 import INT8_MAX
+
+    sx = amax / INT8_MAX
+    w_q, sw = quantize_weight(w)
+    scale = (sx * sw).astype(jnp.float32)
+    got = pallas_int8_conv3x3(
+        x, w_q, scale, padding_type="reflect", out_dtype=jnp.float32,
+        interpret=True, inv_act_scale=1.0 / sx,
+    )
+    x_q, _ = quantize_act(x, amax)
+    want = jnp_int8_conv(x_q, w_q, "reflect").astype(jnp.float32) * scale[None, None, None, :]
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), rtol=1e-6, atol=1e-6)
+
+
+def test_kernel_prologue_and_stats_match_jnp_path():
+    """Fused prologue (affine+relu before quantize) and in-kernel stats must
+    equal the jnp fallback path exactly (identical rounding expressions)."""
+    from masterthesis_tpu.ops.pallas.conv_int8 import int8_conv3x3
+
+    key = jax.random.PRNGKey(8)
+    b, hw, c = 2, 8, 8
+    x = jax.random.normal(key, (b, hw, hw, c)) * 1.5
+    w = jax.random.normal(jax.random.PRNGKey(9), (3, 3, c, c)) * 0.2
+    amax = jnp.asarray(2.0, jnp.float32)
+    a = jax.random.normal(jax.random.PRNGKey(10), (b, c)) * 0.3 + 1.0
+    bsh = jax.random.normal(jax.random.PRNGKey(11), (b, c)) * 0.2
+
+    y_k, s1_k, s2_k = int8_conv3x3(
+        x, w, amax, padding_type="reflect", out_dtype=jnp.float32,
+        interpret=True, prologue_scale=a, prologue_shift=bsh,
+        prologue_relu=True, with_stats=True,
+    )
+    y_j, s1_j, s2_j = int8_conv3x3(
+        x, w, amax, padding_type="reflect", out_dtype=jnp.float32,
+        interpret=False, prologue_scale=a, prologue_shift=bsh,
+        prologue_relu=True, with_stats=True,
+    )
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_j), atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1_k), np.asarray(s1_j), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2_k), np.asarray(s2_j), rtol=1e-5, atol=1e-4)
+
+
+def test_fused_resblock_serving_close_to_float():
+    """ResnetBlock fused int8 serving vs its float path."""
+    from masterthesis_tpu.models.blocks import ResnetBlock
+
+    key = jax.random.PRNGKey(12)
+    x = jax.random.normal(key, (2, 8, 8, 16))
+    block = ResnetBlock(16)
+    params = block.init(jax.random.PRNGKey(13), x)["params"]
+    ref = block.apply({"params": params}, x)
+    # calibrate
+    _, cal = block.apply({"params": params}, x, mutable=["calib"])
+    from masterthesis_tpu.models.quantize import extract_amax
+
+    quant = extract_amax(cal["calib"])
+    got = block.apply({"params": params, "quant": quant}, x)
+    err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+    scale_ = np.abs(np.asarray(ref)).max()
+    assert err / scale_ < 0.06, f"fused resblock serving error too large: {err/scale_}"
+
+
+def test_fused_adain_resblock_serving_close_to_float():
+    from masterthesis_tpu.models.blocks import AdaINResnetBlock
+
+    key = jax.random.PRNGKey(14)
+    x = jax.random.normal(key, (2, 8, 8, 16))
+    z = jax.random.normal(jax.random.PRNGKey(15), (2, 256))
+    block = AdaINResnetBlock(16)
+    params = block.init(jax.random.PRNGKey(16), x, z)["params"]
+    ref = block.apply({"params": params}, x, z)
+    _, cal = block.apply({"params": params}, x, z, mutable=["calib"])
+    from masterthesis_tpu.models.quantize import extract_amax
+
+    quant = extract_amax(cal["calib"])
+    got = block.apply({"params": params, "quant": quant}, x, z)
+    err = np.abs(np.asarray(got) - np.asarray(ref)).max()
+    scale_ = np.abs(np.asarray(ref)).max()
+    assert err / scale_ < 0.06, f"fused adain serving error too large: {err/scale_}"
