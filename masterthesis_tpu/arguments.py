@@ -129,6 +129,15 @@ def _add_test_args(parser: argparse.ArgumentParser):
     parser.add_argument("--save_visuals", action="store_true")
     parser.add_argument("--gen_grid", action="store_true")
     parser.add_argument("--gen_style", action="store_true")
+    parser.add_argument(
+        "--int8", action="store_true",
+        help="serve on the int8 MXU path (calibrates activation ranges on a "
+        "few input batches, then eligible convs run the Pallas int8 kernels)",
+    )
+    parser.add_argument(
+        "--int8_calib_batches", type=int, default=2,
+        help="number of input batches used for int8 activation calibration",
+    )
 
 
 def _resolve_classes(args):

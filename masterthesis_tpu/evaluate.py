@@ -41,8 +41,35 @@ def evaluate(args, model, state, num_styles: int = 2):
     transform = TrainTransform(args.load_size, args.crop_size, train=False)
     lpips_fn = make_lpips_fn(getattr(args, "lpips_weights", None))
     results = {}
+    # FID feature space options:
+    # - default: Inception-2048 (needs --fid_weights for reference-comparable
+    #   numbers; with random weights deep-net features collapse to ~constant
+    #   and FID degenerates to exactly 0 — measured std ~1e-5)
+    # - 'pixel': FID over 4x4x3 thumbnail statistics (48-d) — weights-free,
+    #   well-conditioned at ~100 samples, the honest self-relative TREND
+    #   metric for this zero-egress environment
+    # - fid_features=N: slice the Inception features to N dims
+    fid_features = int(getattr(args, "fid_features", 0) or 0)
+    fid_extractor = getattr(args, "fid_extractor", None)
     for t, domain in enumerate(domains):
-        fid = FID(weights_path=getattr(args, "fid_weights", None))
+        if fid_extractor == "pixel":
+            def pixel_features(x):
+                t4 = jax.image.resize(
+                    x.astype(jnp.float32), (x.shape[0], 4, 4, x.shape[-1]), "linear"
+                )
+                return t4.reshape(x.shape[0], -1)
+
+            fid = FID(num_features=48, feature_extractor=pixel_features)
+        elif fid_features:
+            from masterthesis_tpu.metrics.inception import make_inception_extractor
+
+            base_extractor = make_inception_extractor(getattr(args, "fid_weights", None))
+            fid = FID(
+                num_features=fid_features,
+                feature_extractor=lambda x: base_extractor(x)[:, :fid_features],
+            )
+        else:
+            fid = FID(weights_path=getattr(args, "fid_weights", None))
         # real images of the target domain
         real_ds = ImageList(os.path.join(mode_dir, domain), transform=transform)
         # content images: every OTHER domain
@@ -51,29 +78,52 @@ def evaluate(args, model, state, num_styles: int = 2):
             if d2 != domain:
                 content_paths += ImageList(os.path.join(mode_dir, d2)).dataset
         content_paths = content_paths[: len(real_ds)]
-        trg = jnp.asarray(np.eye(args.num_domains, dtype=np.float32)[t][None])
+        trg1 = np.eye(args.num_domains, dtype=np.float32)[t]
         diversity = []
-        for i, path in enumerate(content_paths):
-            img = jnp.asarray(transform.load_file(path))[None]
+        params = state.params if hasattr(state, "params") else state
+        # batched evaluation: device dispatches per CHUNK, not per image —
+        # a per-image loop pays the host/relay round trip hundreds of times
+        # per domain and was the entire eval wall-clock
+        eval_batch = int(getattr(args, "eval_batch", 8) or 8)
+        for start in range(0, len(content_paths), eval_batch):
+            chunk = content_paths[start : start + eval_batch]
+            imgs = jnp.asarray(
+                np.stack([transform.load_file(p) for p in chunk])
+            )
+            bsz = imgs.shape[0]
+            trg = jnp.asarray(np.tile(trg1, (bsz, 1)))
             outs = []
+            # raw jitted forward when available: the timed forward_random
+            # wrapper syncs + polls device memory per call, which through the
+            # relay costs ~0.5 s/call
+            fwd = getattr(model, "_forward_random_jit", None)
             for s in range(num_styles):
                 rng, k = jax.random.split(rng)
-                z = model.get_z_random(k, 1)
-                fake, _, _ = model.forward_random(state, img, z, trg)
-                outs.append(np.asarray(fake[0], np.float32))
+                z = model.get_z_random(k, bsz)
+                if fwd is not None:
+                    fake = fwd(params, imgs, z, trg)
+                else:
+                    fake, _, _ = model.forward_random(state, imgs, z, trg)
+                outs.append(np.asarray(fake, np.float32))
             if getattr(args, "save_visuals", False):
-                names = [
-                    os.path.join(args.display_dir, domain, f"{i}_{s}.jpg")
-                    for s in range(num_styles)
-                ]
-                save_images(np.stack(outs), names)
+                for s in range(num_styles):
+                    names = [
+                        os.path.join(args.display_dir, domain, f"{start + j}_{s}.jpg")
+                        for j in range(bsz)
+                    ]
+                    save_images(outs[s], names)
             # FID update: both sides mapped [-1,1] -> [0,1] (TrainTransform
             # normalizes reals to [-1,1] too; InceptionV3 expects [0,1])
-            real = np.asarray(real_ds[i % len(real_ds)], np.float32)
-            fid.update(((np.stack(outs[:1]) + 1.0) / 2.0, (real[None] + 1.0) / 2.0))
+            reals = np.stack(
+                [
+                    np.asarray(real_ds[(start + j) % len(real_ds)], np.float32)
+                    for j in range(bsz)
+                ]
+            )
+            fid.update(((outs[0] + 1.0) / 2.0, (reals + 1.0) / 2.0))
             if num_styles > 1:
-                d = lpips_fn(jnp.asarray(outs[0])[None], jnp.asarray(outs[1])[None])
-                diversity.append(float(d[0]))
+                d = lpips_fn(jnp.asarray(outs[0]), jnp.asarray(outs[1]))
+                diversity += [float(v) for v in np.asarray(d)]
         results[domain] = {
             "fid": fid.compute(),
             "lpips_diversity": float(np.mean(diversity)) if diversity else float("nan"),
@@ -86,10 +136,32 @@ def main():
     parser.parser.add_argument("--fid_weights", type=str, default=None)
     parser.parser.add_argument("--lpips_weights", type=str, default=None)
     parser.parser.add_argument("--num_styles", type=int, default=2)
+    parser.parser.add_argument(
+        "--fid_extractor", type=str, default=None, choices=[None, "pixel"],
+        help="'pixel': weights-free 4x4 thumbnail-statistics FID (the "
+        "self-relative trend metric; Inception FID needs --fid_weights)",
+    )
+    parser.parser.add_argument(
+        "--fid_features", type=int, default=0,
+        help="slice Inception features to N dims (small validation sets)",
+    )
     args = parser.parse()
     with TimerBlock("Evaluating") as block:
         model = args.model(args)
         state = model.initialize()
+        if getattr(args, "int8", False):
+            block.log("Calibrating int8 serving path")
+            mode_dir = os.path.join(
+                args.dataroot, args.mode if args.mode != "test" else "val"
+            )
+            if not os.path.isdir(mode_dir):
+                mode_dir = os.path.join(args.dataroot, "train")
+            transform = TrainTransform(args.load_size, args.crop_size, train=False)
+            calib = ImageList(mode_dir, transform=transform)
+            k = min(len(calib), 8)
+            model.calibrate_int8(
+                state, [np.stack([calib[i] for i in range(k)])]
+            )
         results = evaluate(args, model, state, num_styles=args.num_styles)
         for domain, metrics in results.items():
             block.log(f"{domain}: FID={metrics['fid']:.3f} "

@@ -195,7 +195,9 @@ class Conv2d(nn.Module):
             if self.use_bias
             else None
         )
-        if self.is_mutable_collection("calib"):
+        # calibration capture (not during init, where ALL collections are
+        # mutable and degenerate zero-size probe shapes can appear)
+        if self.is_mutable_collection("calib") and not self.is_initializing() and x.size:
             self.sow(
                 "calib",
                 "amax_in",
@@ -528,14 +530,6 @@ def _int8_block_serving(q) -> bool:
         return False
 
 
-def _in_affine(s1, s2, n, eps=1e-5):
-    """(sum, sumsq) -> instance-norm apply affine A=(rstd), B=(-mean*rstd)."""
-    mean = s1 / n
-    var = jnp.maximum(s2 / n - jnp.square(mean), 0.0)
-    rstd = jax.lax.rsqrt(var + eps)
-    return rstd, -mean * rstd
-
-
 class ResnetBlock(nn.Module):
     """Standard 2-conv residual block (reference blocks.py:121-138)."""
 
@@ -550,28 +544,23 @@ class ResnetBlock(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     def _serving_int8(self, x, q):
-        """Fused int8 serving: conv1 (stats in-kernel) -> conv2 with the
-        instance-norm apply + relu folded into its quantize prologue -> the
-        final norm apply rides the residual add. Two kernel launches and one
-        elementwise pass instead of six HBM passes."""
-        from masterthesis_tpu.ops.pallas.conv_int8 import int8_conv3x3
+        """Fused int8 serving: on TPU the WHOLE block (conv1 -> IN -> relu ->
+        conv2 -> IN -> +x) is one kernel launch per image with the
+        intermediate living only in VMEM (ops/pallas/conv_int8.py
+        pallas_int8_resblock); off-TPU the identical math composes from
+        int8_conv3x3 calls."""
+        from masterthesis_tpu.ops.pallas.conv_int8 import int8_resblock
 
         p = self.variables["params"]
-        n = x.shape[1] * x.shape[2]
-        h1, s1, s2 = int8_conv3x3(
-            x, p["conv1"]["conv"]["kernel"], q["conv1"]["conv"]["amax_in"],
-            padding_type=self.padding_type, out_dtype=self.dtype, with_stats=True,
+        zero = jnp.zeros((x.shape[0], x.shape[-1]), jnp.float32)
+        return int8_resblock(
+            x,
+            p["conv1"]["conv"]["kernel"], p["conv2"]["conv"]["kernel"],
+            q["conv1"]["conv"]["amax_in"], q["conv2"]["conv"]["amax_in"],
+            gamma=zero, beta=zero,
+            padding_type=self.padding_type,
+            relu_mid=self.activation == "relu",
         )
-        a1, b1 = _in_affine(s1, s2, n)
-        h2, t1, t2 = int8_conv3x3(
-            h1, p["conv2"]["conv"]["kernel"], q["conv2"]["conv"]["amax_in"],
-            padding_type=self.padding_type, out_dtype=self.dtype,
-            prologue_scale=a1, prologue_shift=b1, prologue_relu=True,
-            with_stats=True,
-        )
-        a2, b2 = _in_affine(t1, t2, n)
-        y = h2.astype(jnp.float32) * a2[:, None, None, :] + b2[:, None, None, :]
-        return x + y.astype(x.dtype)
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
@@ -631,35 +620,24 @@ class AdaINResnetBlock(nn.Module):
 
     def _serving_int8(self, x, z, q):
         """Fused int8 serving: the shared AdaIN (style-projected gamma/beta
-        around instance-norm stats) applies inside the conv2 quantize
-        prologue and the residual epilogue; both convs emit their spatial
-        stats in-kernel. Mirrors the float path conv1->adain->act->conv2->
-        adain->+x exactly (same eps, shared style projection)."""
-        from masterthesis_tpu.ops.pallas.conv_int8 import int8_conv3x3
+        around instance-norm stats) and both convs run as ONE kernel launch
+        per image on TPU (see pallas_int8_resblock); the style projection is
+        computed here from the same shared ``adain/style_proj`` params the
+        float path uses."""
+        from masterthesis_tpu.ops.pallas.conv_int8 import int8_resblock
 
         p = self.variables["params"]
         sp = p["adain"]["style_proj"]
         h = z.astype(jnp.float32) @ sp["kernel"].astype(jnp.float32) + sp["bias"]
         gamma, beta = jnp.split(h, 2, axis=-1)  # (B, C) each, shared by both
-        n = x.shape[1] * x.shape[2]
-        h1, s1, s2 = int8_conv3x3(
-            x, p["conv1"]["conv"]["kernel"], q["conv1"]["conv"]["amax_in"],
-            padding_type=self.padding_type, out_dtype=self.dtype, with_stats=True,
+        return int8_resblock(
+            x,
+            p["conv1"]["conv"]["kernel"], p["conv2"]["conv"]["kernel"],
+            q["conv1"]["conv"]["amax_in"], q["conv2"]["conv"]["amax_in"],
+            gamma=gamma, beta=beta,
+            padding_type=self.padding_type,
+            relu_mid=self.activation == "relu",
         )
-        rstd1, shift1 = _in_affine(s1, s2, n)
-        a1 = (1.0 + gamma) * rstd1
-        b1 = beta + shift1 * (1.0 + gamma)
-        h2, t1, t2 = int8_conv3x3(
-            h1, p["conv2"]["conv"]["kernel"], q["conv2"]["conv"]["amax_in"],
-            padding_type=self.padding_type, out_dtype=self.dtype,
-            prologue_scale=a1, prologue_shift=b1,
-            prologue_relu=self.activation == "relu", with_stats=True,
-        )
-        rstd2, shift2 = _in_affine(t1, t2, n)
-        a2 = (1.0 + gamma) * rstd2
-        b2 = beta + shift2 * (1.0 + gamma)
-        y = h2.astype(jnp.float32) * a2[:, None, None, :] + b2[:, None, None, :]
-        return x + y.astype(x.dtype)
 
     @nn.compact
     def __call__(self, x, z, deterministic: bool = True):

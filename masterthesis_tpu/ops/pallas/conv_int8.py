@@ -29,7 +29,7 @@ quantized numerics to the kernel.
 """
 from __future__ import annotations
 
-import functools
+
 from typing import Optional
 
 import jax
@@ -351,3 +351,258 @@ def int8_conv3x3(
         s2 = jnp.sum(y * y, axis=(1, 2))
         return y.astype(out_dtype), s1, s2
     return y.astype(out_dtype)
+
+
+# --------------------------------------------------------------------------- #
+# whole-resblock mega-kernel
+# --------------------------------------------------------------------------- #
+def _make_resblock_kernel(h: int, w: int, c: int, padding_type: str, out_dtype,
+                          row_chunk: int, relu_mid: bool, eps: float):
+    from jax.experimental import pallas as pl
+
+    def _quant_pad(src_read, inv_sx, padded):
+        """Row-chunked quantize into the padded scratch + border fill."""
+        for r in range(0, h, row_chunk):
+            chunk = src_read(r)
+            q = jnp.clip(jnp.round(chunk * inv_sx), -INT8_MAX, INT8_MAX)
+            padded[pl.ds(1 + r, row_chunk), 1 : w + 1, :] = q.astype(jnp.int8)
+        if padding_type == "reflect":
+            padded[0, 1 : w + 1, :] = padded[2, 1 : w + 1, :]
+            padded[h + 1, 1 : w + 1, :] = padded[h - 1, 1 : w + 1, :]
+            padded[:, 0, :] = padded[:, 2, :]
+            padded[:, w + 1, :] = padded[:, w - 1, :]
+        else:
+            zrow = jnp.zeros((w + 2, c), jnp.int8)
+            padded[0, :, :] = zrow
+            padded[h + 1, :, :] = zrow
+            zcol = jnp.zeros((h + 2, c), jnp.int8)
+            padded[:, 0, :] = zcol
+            padded[:, w + 1, :] = zcol
+
+    def _conv_pass(padded, w_ref, tap0, scale, store):
+        """9-tap int8 conv over the padded scratch; returns (sum, sumsq)."""
+        st_sum = st_sq = None
+        for r in range(0, h, row_chunk):
+            s = None
+            for dy in range(3):
+                for dx in range(3):
+                    a = padded[pl.ds(dy + r, row_chunk), pl.ds(dx, w), :]
+                    d = jax.lax.dot_general(
+                        a, w_ref[tap0 + dy * 3 + dx], (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    s = d if s is None else s + d
+            y = s.astype(jnp.float32) * scale[None, None, :]
+            ps = jnp.sum(y, axis=(0, 1))[None, :]
+            pq = jnp.sum(y * y, axis=(0, 1))[None, :]
+            st_sum = ps if st_sum is None else st_sum + ps
+            st_sq = pq if st_sq is None else st_sq + pq
+            store(r, y)
+        return st_sum, st_sq
+
+    def _affine(st_sum, st_sq, gamma, beta):
+        """(sum, sumsq) + style -> AdaIN/IN apply affine (A, B), f32 (1, C)."""
+        n = float(h * w)
+        mean = st_sum / n
+        var = jnp.maximum(st_sq / n - mean * mean, 0.0)
+        rstd = jax.lax.rsqrt(var + eps)
+        a = (1.0 + gamma) * rstd
+        b = beta - mean * a
+        return a, b
+
+    def kernel(x_ref, w_ref, scales_ref, invs_ref, gamma_ref, beta_ref,
+               o_ref, h1_scr, padded):
+        inv1 = invs_ref[0, 0]
+        inv2 = invs_ref[0, 1]
+        gamma = gamma_ref[0]  # (1, C)
+        beta = beta_ref[0]
+
+        # conv1: quantize residual stream, conv, h1 -> VMEM scratch only
+        _quant_pad(
+            lambda r: x_ref[0, pl.ds(r, row_chunk), :, :].astype(jnp.float32)
+            * inv1,
+            1.0,
+            padded,
+        )
+        s1, q1 = _conv_pass(
+            padded, w_ref, 0, scales_ref[0],
+            lambda r, y: h1_scr.__setitem__(
+                (pl.ds(r, row_chunk), slice(None), slice(None)),
+                y.astype(jnp.bfloat16),
+            ),
+        )
+        a1, b1 = _affine(s1, q1, gamma, beta)
+
+        # conv2: AdaIN/IN apply + activation + quantize from scratch
+        def read2(r):
+            chunk = h1_scr[pl.ds(r, row_chunk), :, :].astype(jnp.float32)
+            chunk = chunk * a1[0][None, None, :] + b1[0][None, None, :]
+            if relu_mid:
+                chunk = jnp.maximum(chunk, 0.0)
+            return chunk * inv2
+
+        _quant_pad(read2, 1.0, padded)
+        s2, q2 = _conv_pass(
+            padded, w_ref, 9, scales_ref[1],
+            lambda r, y: o_ref.__setitem__(
+                (0, pl.ds(r, row_chunk), slice(None), slice(None)),
+                y.astype(out_dtype),
+            ),
+        )
+        a2, b2 = _affine(s2, q2, gamma, beta)
+
+        # epilogue: out = x + norm2(conv2) — rewrite the resident out block
+        for r in range(0, h, row_chunk):
+            y2 = o_ref[0, pl.ds(r, row_chunk), :, :].astype(jnp.float32)
+            y2 = y2 * a2[0][None, None, :] + b2[0][None, None, :]
+            res = x_ref[0, pl.ds(r, row_chunk), :, :].astype(jnp.float32)
+            o_ref[0, pl.ds(r, row_chunk), :, :] = (res + y2).astype(out_dtype)
+
+    return kernel
+
+
+def pallas_int8_resblock(
+    x: jnp.ndarray,
+    w1_q: jnp.ndarray,
+    w2_q: jnp.ndarray,
+    scale1: jnp.ndarray,
+    scale2: jnp.ndarray,
+    inv_sx1,
+    inv_sx2,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    padding_type: Optional[str] = "reflect",
+    relu_mid: bool = True,
+    eps: float = 1e-5,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """One residual block in a single kernel launch per image:
+
+        out = x + norm2(conv2(act(norm1(conv1(x)))))
+
+    with norm_i = per-(sample, channel) instance norm modulated by the
+    (shared) style affine ``(1+gamma)*x_hat + beta`` (gamma=beta=0 gives the
+    plain-IN encoder block). Both convs run on the int8 MXU with in-kernel
+    quantization/padding; the intermediate h1 lives only in VMEM — per block
+    HBM traffic drops from ~14 MB/image (3 separate passes) to 4 MB/image.
+
+    ``scale1/scale2``: per-channel dequant scales (act*weight); ``inv_sx*``:
+    reciprocal activation quant scales; ``gamma/beta``: (B, C) style affine.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = x.shape
+    row_chunk = next(rc for rc in (16, 8, 4, 2, 1) if h % rc == 0)
+    kernel = _make_resblock_kernel(
+        h, w, c, padding_type or "zero", out_dtype, row_chunk, relu_mid, eps
+    )
+    w_taps = jnp.concatenate(
+        [w1_q.reshape(9, c, c), w2_q.reshape(9, c, c)], axis=0
+    )
+    scales = jnp.stack([scale1, scale2]).astype(jnp.float32)  # (2, C)
+    invs = jnp.reshape(
+        jnp.stack([jnp.asarray(inv_sx1, jnp.float32), jnp.asarray(inv_sx2, jnp.float32)]),
+        (1, 2),
+    )
+    return pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=[
+            pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((18, c, c), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((2, c), lambda i: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 2), lambda i: (0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, h, w, c), out_dtype),
+        scratch_shapes=[
+            pltpu.VMEM((h, w, c), jnp.bfloat16),
+            pltpu.VMEM((h + 2, w + 2, c), jnp.int8),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * 2 * b * h * w * 9 * c * c,
+            bytes_accessed=2 * x.size * x.dtype.itemsize + w_taps.size,
+            transcendentals=2 * b * c,
+        ),
+        interpret=interpret,
+    )(
+        x,
+        w_taps,
+        scales,
+        invs,
+        gamma.astype(jnp.float32).reshape(b, 1, c),
+        beta.astype(jnp.float32).reshape(b, 1, c),
+    )
+
+
+def resblock_eligible(x: jnp.ndarray) -> bool:
+    if x.ndim != 4:
+        return False
+    b, h, w, c = x.shape
+    return (
+        c % 128 == 0
+        and h >= 4
+        and w >= 4
+        and h * w * c * 2 <= 2_200_000  # h1 scratch (bf16)
+        and (h + 2) * (w + 2) * c <= 2_500_000
+    )
+
+
+def int8_resblock(
+    x: jnp.ndarray,
+    w1: jnp.ndarray,
+    w2: jnp.ndarray,
+    amax1,
+    amax2,
+    gamma: jnp.ndarray,
+    beta: jnp.ndarray,
+    padding_type: Optional[str] = "reflect",
+    relu_mid: bool = True,
+    eps: float = 1e-5,
+    interpret: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Serving-path residual block (float weights in, quantization inside).
+
+    Dispatches to the single-launch mega-kernel on TPU; elsewhere composes
+    the same math from int8_conv3x3 calls (exact same quantize/round
+    expressions, so CPU tests validate the TPU path's semantics).
+    """
+    amax1 = jnp.maximum(jnp.asarray(amax1, jnp.float32), 1e-12)
+    amax2 = jnp.maximum(jnp.asarray(amax2, jnp.float32), 1e-12)
+    w1_q, sw1 = quantize_weight(w1)
+    w2_q, sw2 = quantize_weight(w2)
+    use_pallas = interpret or (interpret is None and jax.default_backend() == "tpu")
+    if use_pallas and resblock_eligible(x):
+        return pallas_int8_resblock(
+            x, w1_q, w2_q,
+            (amax1 / INT8_MAX) * sw1, (amax2 / INT8_MAX) * sw2,
+            INT8_MAX / amax1, INT8_MAX / amax2,
+            gamma, beta, padding_type, relu_mid, eps, x.dtype,
+            interpret=bool(interpret),
+        )
+    n = x.shape[1] * x.shape[2]
+    h1, s1, q1 = int8_conv3x3(
+        x, w1, amax1, padding_type=padding_type, out_dtype=x.dtype,
+        with_stats=True, interpret=interpret if not use_pallas else None,
+    )
+    mean1 = s1 / n
+    var1 = jnp.maximum(q1 / n - jnp.square(mean1), 0.0)
+    a1 = (1.0 + gamma) * jax.lax.rsqrt(var1 + eps)
+    b1 = beta - mean1 * a1
+    h2, s2, q2 = int8_conv3x3(
+        h1, w2, amax2, padding_type=padding_type, out_dtype=x.dtype,
+        prologue_scale=a1, prologue_shift=b1, prologue_relu=relu_mid,
+        with_stats=True, interpret=interpret if not use_pallas else None,
+    )
+    mean2 = s2 / n
+    var2 = jnp.maximum(q2 / n - jnp.square(mean2), 0.0)
+    a2 = (1.0 + gamma) * jax.lax.rsqrt(var2 + eps)
+    b2 = beta - mean2 * a2
+    y = h2.astype(jnp.float32) * a2[:, None, None, :] + b2[:, None, None, :]
+    return x + y.astype(x.dtype)

@@ -217,6 +217,14 @@ class Sampler:
             args = TestArguments().parse()
             model, state = self.load_model(args)
             dataloader = self.load_dataset(args)
+            if getattr(args, "int8", False):
+                block.log("Calibrating int8 serving path")
+                batches = []
+                for batch in dataloader:
+                    batches.append(np.asarray(batch))
+                    if len(batches) >= getattr(args, "int8_calib_batches", 2):
+                        break
+                model.calibrate_int8(state, batches)
             if args.targets is not None:
                 args.targets = [DOMAIN_MAP.index(t) for t in args.targets]
             if args.gen_grid:

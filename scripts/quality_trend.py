@@ -40,7 +40,8 @@ def make_dataset(root: str, per_domain: int = 120, size: int = 160, seed: int = 
         "rain": (0.45, 0.5, 0.65),
         "sun": (1.0, 0.85, 0.55),
     }
-    for mode, n in (("train", per_domain), ("val", max(12, per_domain // 8))):
+    # val needs enough samples for a well-conditioned (sliced) FID covariance
+    for mode, n in (("train", per_domain), ("val", 96)):
         for d in DOMAINS:
             out = os.path.join(root, mode, d)
             os.makedirs(out, exist_ok=True)
@@ -80,6 +81,8 @@ def main():
     ap.add_argument("--out", type=str, default="/tmp/quality_trend")
     ap.add_argument("--ckpt_every", type=int, default=1000)
     ap.add_argument("--num_styles", type=int, default=2)
+    ap.add_argument("--eval_only", action="store_true",
+                    help="skip training; evaluate existing checkpoints")
     args_cli = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_jax_cache")
@@ -122,8 +125,9 @@ def main():
     )
     os.makedirs(targs.checkpoint_dir, exist_ok=True)
     os.makedirs(targs.display_dir, exist_ok=True)
-    print(f"training {args_cli.iters} iters ...")
-    Trainer().run(targs)
+    if not args_cli.eval_only:
+        print(f"training {args_cli.iters} iters ...")
+        Trainer().run(targs)
 
     # ---- evaluate every checkpoint ----
     rows = []
@@ -146,6 +150,11 @@ def main():
             logdir=None,
             mode="test",
             display_dir=os.path.join(exp, "eval"),
+            # pixel-statistics FID (48-d thumbnail features): random-weight
+            # Inception features collapse to ~constant (std ~1e-5) so any
+            # Inception-based FID is exactly 0 here; pixel stats are the
+            # honest weights-free self-relative trend metric
+            fid_extractor="pixel",
         )
         model = AdaINModel(eargs)
         state = model.initialize()

@@ -119,3 +119,40 @@ def test_sampler_diverse_mode(tmp_path):
     dataloader = sampler.load_dataset(args)
     sampler.sample_diverse(args, model, state, dataloader, trgs=[2])
     assert os.path.exists(os.path.join(str(tmp_path / "out"), "0", "0_0.jpg"))
+
+
+def test_sampler_int8_serving(tmp_path):
+    """--int8: calibrate on input batches, then translate on the quantized
+    path (jnp int8 math on CPU)."""
+    from masterthesis_tpu.models import AdaINModel
+    from masterthesis_tpu.sample import Sampler
+
+    make_image_tree(tmp_path / "data", num_domains=2, per_domain=2, mode="imgs", size=40)
+    args = default_test_args(
+        dataroot=str(tmp_path / "data" / "imgs"),
+        model=AdaINModel,
+        batch_size=1,
+        num_domains=4,
+        latent_dim=4,
+        dim=8,
+        crop_size=32,
+        num_workers=0,
+        display_dir=str(tmp_path / "out8"),
+        result_dir=str(tmp_path / "out8"),
+    )
+    sampler = Sampler()
+    from masterthesis_tpu.data.transforms import EvalTransform
+
+    sampler.transforms = EvalTransform(size=(32, 32))
+    model, state = sampler.load_model(args)
+    dataloader = sampler.load_dataset(args)
+    import numpy as np
+
+    batches = [np.asarray(b) for b in dataloader][:2]
+    model.calibrate_int8(state, batches)
+    assert model.quant_cols
+    sampler.sample(args, model, state, dataloader, trgs=[1])
+    outs = []
+    for root, _, files in os.walk(str(tmp_path / "out8")):
+        outs += [os.path.join(root, f) for f in files]
+    assert any(f.endswith(".jpg") for f in outs)

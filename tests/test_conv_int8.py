@@ -178,3 +178,40 @@ def test_fused_adain_resblock_serving_close_to_float():
     err = np.abs(np.asarray(got) - np.asarray(ref)).max()
     scale_ = np.abs(np.asarray(ref)).max()
     assert err / scale_ < 0.06, f"fused adain serving error too large: {err/scale_}"
+
+
+def test_resblock_mega_kernel_matches_composed():
+    """The single-launch resblock kernel (interpret) must match the composed
+    int8_conv3x3 chain (jnp path) — identical quantize expressions."""
+    from masterthesis_tpu.ops.pallas.conv_int8 import int8_resblock
+
+    key = jax.random.PRNGKey(20)
+    b, hw, c = 2, 8, 8
+    x = jax.random.normal(key, (b, hw, hw, c), jnp.float32)
+    w1 = jax.random.normal(jax.random.PRNGKey(21), (3, 3, c, c)) * 0.2
+    w2 = jax.random.normal(jax.random.PRNGKey(22), (3, 3, c, c)) * 0.2
+    gamma = jax.random.normal(jax.random.PRNGKey(23), (b, c)) * 0.3
+    beta = jax.random.normal(jax.random.PRNGKey(24), (b, c)) * 0.2
+    amax1, amax2 = jnp.asarray(3.0), jnp.asarray(4.0)
+
+    got = int8_resblock(x, w1, w2, amax1, amax2, gamma, beta,
+                        padding_type="reflect", relu_mid=True, interpret=True)
+    want = int8_resblock(x, w1, w2, amax1, amax2, gamma, beta,
+                         padding_type="reflect", relu_mid=True, interpret=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-3)
+
+
+def test_resblock_mega_kernel_zero_style_is_plain_in():
+    from masterthesis_tpu.ops.pallas.conv_int8 import int8_resblock
+
+    key = jax.random.PRNGKey(25)
+    b, hw, c = 1, 8, 8
+    x = jax.random.normal(key, (b, hw, hw, c), jnp.float32)
+    w1 = jax.random.normal(jax.random.PRNGKey(26), (3, 3, c, c)) * 0.2
+    w2 = jax.random.normal(jax.random.PRNGKey(27), (3, 3, c, c)) * 0.2
+    zero = jnp.zeros((b, c), jnp.float32)
+    got = int8_resblock(x, w1, w2, 3.0, 3.0, zero, zero,
+                        padding_type="zero", relu_mid=True, interpret=True)
+    want = int8_resblock(x, w1, w2, 3.0, 3.0, zero, zero,
+                         padding_type="zero", relu_mid=True, interpret=False)
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want), atol=2e-4, rtol=1e-3)

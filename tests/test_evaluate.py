@@ -74,3 +74,58 @@ def test_evaluate_fid_zero_for_identity_translation(tmp_path):
         results = evaluate(args, IdentityModel(), state=None, num_styles=1)
     for r in results.values():
         assert abs(r["fid"]) < 1e-3, r["fid"]
+
+
+def test_evaluate_sliced_fid_features(tmp_path):
+    """--fid_features slices the Inception features so small validation sets
+    keep a well-conditioned covariance (full 2048-d FID degenerates to ~0
+    when n << d)."""
+    make_image_tree(tmp_path / "data", num_domains=2, per_domain=3, mode="val")
+    args = tiny_train_args(
+        dataroot=str(tmp_path / "data"),
+        mode="test",
+        num_domains=2,
+        load_size=36,
+        crop_size=32,
+        display_dir=str(tmp_path / "out"),
+        save_visuals=False,
+        fid_weights=None,
+        lpips_weights=None,
+        fid_features=8,
+    )
+    model = AdaINModel(args)
+    state = model.initialize()
+    eval_args = AttributeDict(dict(args))
+    eval_args["mode"] = "val"
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        results = evaluate(eval_args, model, state, num_styles=2)
+    for r in results.values():
+        assert np.isfinite(r["fid"]) and r["fid"] > 0
+
+
+def test_evaluate_pixel_fid_extractor(tmp_path):
+    """Weights-free pixel-statistics FID: finite, positive, and sensitive to
+    the domain color differences of the synthetic tree."""
+    make_image_tree(tmp_path / "data", num_domains=2, per_domain=3, mode="val")
+    args = tiny_train_args(
+        dataroot=str(tmp_path / "data"),
+        mode="test",
+        num_domains=2,
+        load_size=36,
+        crop_size=32,
+        display_dir=str(tmp_path / "out"),
+        save_visuals=False,
+        fid_weights=None,
+        lpips_weights=None,
+        fid_extractor="pixel",
+    )
+    model = AdaINModel(args)
+    state = model.initialize()
+    eval_args = AttributeDict(dict(args))
+    eval_args["mode"] = "val"
+    with warnings.catch_warnings():
+        warnings.simplefilter("ignore")
+        results = evaluate(eval_args, model, state, num_styles=2)
+    for r in results.values():
+        assert np.isfinite(r["fid"]) and r["fid"] > 0
