@@ -179,6 +179,22 @@ class TranslationModel(Model):
             rng = jax.random.PRNGKey(0)
         num_domains = int(self.args.num_domains)
         cols = {"content_encoder": None, "decoder": None}
+
+        # jitted calibration passes: un-jitted flax applies execute eagerly,
+        # i.e. one device dispatch per op — minutes per batch through the
+        # relay instead of one compiled call
+        @jax.jit
+        def calib_pass(params, img, z, c):
+            z_c, cal_e = self.nets["content_encoder"].apply(
+                {"params": params["content_encoder"]},
+                img, deterministic=True, mutable=["calib"],
+            )
+            _, cal_d = self.nets["decoder"].apply(
+                {"params": params["decoder"]},
+                z_c, z, c, deterministic=True, mutable=["calib"],
+            )
+            return cal_e["calib"], cal_d["calib"]
+
         for i, img in enumerate(images):
             img = jnp.asarray(img)
             b = img.shape[0]
@@ -190,16 +206,9 @@ class TranslationModel(Model):
                     jax.random.randint(kc, (b,), 0, num_domains), num_domains
                 )
             z = self.get_z_random(kz, b)
-            z_c, cal = self.nets["content_encoder"].apply(
-                {"params": state.params["content_encoder"]},
-                img, deterministic=True, mutable=["calib"],
-            )
-            cols["content_encoder"] = merge_amax(cols["content_encoder"], cal["calib"])
-            _, cal = self.nets["decoder"].apply(
-                {"params": state.params["decoder"]},
-                z_c, z, c, deterministic=True, mutable=["calib"],
-            )
-            cols["decoder"] = merge_amax(cols["decoder"], cal["calib"])
+            cal_e, cal_d = calib_pass(state.params, img, z, c)
+            cols["content_encoder"] = merge_amax(cols["content_encoder"], cal_e)
+            cols["decoder"] = merge_amax(cols["decoder"], cal_d)
         self.quant_cols = {k: extract_amax(v) for k, v in cols.items() if v is not None}
         # re-trace the inference paths so the quant constants are baked in
         self._forward_jit = jax.jit(self._forward_impl)
