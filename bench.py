@@ -69,7 +69,11 @@ def main():
 
     # int8 serving path: calibrate activation ranges on a few small batches,
     # re-bench, and report quality (PSNR vs the bf16 output — tanh range 2.0).
-    model.calibrate_int8(state, [np.asarray(img[:8]), np.asarray(img[8:16])])
+    # Build batches from the rows that exist (off-TPU the bench batch is 4,
+    # so a fixed [8:16] split would produce an empty batch).
+    rows = np.asarray(img[: min(batch, 16)])
+    calib_batches = [b for b in np.array_split(rows, 2) if len(b)]
+    model.calibrate_int8(state, calib_batches)
     int8_rate, int8_out = throughput("int8")
     mse = float(np.mean((int8_out - bf16_out) ** 2))
     psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
@@ -83,7 +87,7 @@ def main():
         "unit": "img/s",
         "vs_baseline": round(headline / 2000.0, 4),
         "extra_metrics": [
-            {"metric": f"bf16 fwd img/s", "value": round(bf16_rate, 2), "unit": "img/s"},
+            {"metric": f"{dtype} fwd img/s", "value": round(bf16_rate, 2), "unit": "img/s"},
             {"metric": "int8 serving fwd img/s", "value": round(int8_rate, 2), "unit": "img/s"},
             {"metric": "int8-vs-bf16 PSNR (random weights)", "value": round(psnr, 2), "unit": "dB"},
             bench_train_step(on_tpu, size, dtype),

@@ -158,10 +158,14 @@ def main():
                 mode_dir = os.path.join(args.dataroot, "train")
             transform = TrainTransform(args.load_size, args.crop_size, train=False)
             calib = ImageList(mode_dir, transform=transform)
-            k = min(len(calib), 8)
-            model.calibrate_int8(
-                state, [np.stack([calib[i] for i in range(k)])]
-            )
+            # honor --int8_calib_batches (batch size 8, like sample.py's
+            # loader batches) so evaluate-reported int8 quality matches what
+            # sample serves with the same flag
+            n_batches = max(1, int(getattr(args, "int8_calib_batches", 2)))
+            k = min(len(calib), 8 * n_batches)
+            imgs = np.stack([calib[i] for i in range(k)])
+            batches = [b for b in np.array_split(imgs, n_batches) if len(b)]
+            model.calibrate_int8(state, batches)
         results = evaluate(args, model, state, num_styles=args.num_styles)
         for domain, metrics in results.items():
             block.log(f"{domain}: FID={metrics['fid']:.3f} "

@@ -168,9 +168,10 @@ class Conv2d(nn.Module):
     def _int8_eligible(self, x) -> bool:
         # shape-level pallas eligibility is decided inside int8_conv3x3
         # (small-channel convs fall back to the exact jnp int8 path).
-        # stride-2 stays bf16: measured on v5e, XLA's int8 down-conv saves
-        # ~5 ms but its standalone input-quantize pass costs the same ~5 ms,
-        # for a net wash and ~3 dB of extra quantization noise.
+        # stride-2 stays bf16: measured on v5e (r3 device profile), XLA's
+        # int8 down-conv path costs ~27 ms across quantize / s32-materialize
+        # / dequant+stats fusions vs ~7 ms for the bf16 conv+stats fusions —
+        # the s32[B,128,128,128] intermediate alone is a 2.1 GB round trip.
         return (
             self.kernel_size == 3
             and self.stride == 1
@@ -273,7 +274,13 @@ class ConvTranspose2d(nn.Module):
     """Transposed conv with torch (k, s, p, output_padding) arithmetic.
 
     The (k=3, s=2, p=1, op=1) case — every stride-2 upsample in the decoders —
-    takes the exact sub-pixel fast path above."""
+    takes the exact sub-pixel fast path above.
+
+    Serving-time int8: with an ``{'quant': {'amax_in': ...}}`` collection
+    (TranslationModel.calibrate_int8) the (3,2,1,1) case routes through the
+    Pallas sub-pixel deconv kernel (ops/pallas/conv_int8.py int8_deconv, the
+    int8 MXU at 2x the bf16 rate and 44% of the dilated form's MACs); with
+    ``mutable=['calib']`` it sows its input amax like Conv2d."""
 
     features: int
     kernel_size: int
@@ -284,12 +291,26 @@ class ConvTranspose2d(nn.Module):
     sn: bool = False
     init_type: Optional[str] = None
     init_gain: float = 0.02
+    # int8 serving: also return the kernel's in-kernel (sum, sumsq) spatial
+    # stats as (y, sum4, sumsq4) so the parent block's norm can skip its
+    # full-output reduction pass (see UpsampleBlock)
+    serving_stats: bool = False
+    # int8 serving: allow the lane-packed (B, 2H, W, 2Co) output layout when
+    # Co is below the 128-lane width — only safe when the consumer is the
+    # packed-aware 1x1 head, not another spatial conv
+    allow_packed: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        in_features = x.shape[-1]
+    def __call__(self, x, pending=None):
+        """``pending``: deferred norm+act from the previous serving block —
+        ``{"scale": (B, C), "shift": (B, C), "relu": bool, "packed": bool}``
+        applied as the int8 kernel's fused prologue (elsewhere as a jnp
+        elementwise pass). ``packed`` marks x in the lane-packed layout
+        (only the 1x1 head accepts that)."""
+        packed_in = bool(pending) and bool(pending.get("packed"))
+        in_features = x.shape[-1] // 2 if packed_in else x.shape[-1]
         k = self.kernel_size
         kernel = self.param(
             "kernel",
@@ -299,6 +320,46 @@ class ConvTranspose2d(nn.Module):
         )
         if self.sn:
             kernel = SpectralNorm(name="sn")(kernel)
+        if packed_in:
+            return self._packed_head(x, kernel, pending)
+        is_up3 = (k, self.stride, self.padding, self.output_padding) == (3, 2, 1, 1)
+        if self.is_mutable_collection("calib") and not self.is_initializing() and x.size and is_up3:
+            self.sow(
+                "calib",
+                "amax_in",
+                jnp.max(jnp.abs(x)).astype(jnp.float32),
+                init_fn=lambda: jnp.zeros((), jnp.float32),
+                reduce_fn=jnp.maximum,
+            )
+        if self.has_variable("quant", "amax_in") and is_up3 and not self.sn:
+            from masterthesis_tpu.ops.pallas.conv_int8 import int8_deconv
+
+            amax = self.variable("quant", "amax_in", lambda: None).value
+            bias = (
+                self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+                if self.use_bias
+                else None
+            )
+            pk = {}
+            if pending is not None:
+                # previous block's deferred LN+relu -> fused kernel prologue
+                pk = dict(
+                    prologue_scale=pending["scale"],
+                    prologue_shift=pending["shift"],
+                    prologue_relu=bool(pending.get("relu")),
+                )
+            return int8_deconv(
+                x, kernel, amax, bias, out_dtype=self.dtype,
+                with_stats=self.serving_stats, packed_out=self.allow_packed,
+                **pk,
+            )
+        if pending is not None:
+            # deferred affine not consumed by an int8 kernel: apply inline
+            x = x.astype(jnp.float32) * pending["scale"][:, None, None, :]
+            x = x + pending["shift"][:, None, None, :]
+            if pending.get("relu"):
+                x = jnp.maximum(x, 0.0)
+            x = x.astype(self.dtype)
         import os
 
         use_subpixel = os.environ.get("MT_SUBPIXEL_UP") == "1"
@@ -321,6 +382,37 @@ class ConvTranspose2d(nn.Module):
             bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
             y = y + bias.astype(self.dtype)
         return y
+
+    def _packed_head(self, x, kernel, pending):
+        """1x1 head on the int8 serving convs' lane-packed layout.
+
+        x (B, 2H, W, 2C): channels [0:C] feed even output columns, [C:2C]
+        odd. Applies the deferred LN affine (+relu), then the 1x1 conv as a
+        block-diagonal (2C, 2*out) matmul so even/odd columns never mix, and
+        unpacks with the free trailing reshape. Avoids the ~23 ms of f32
+        relayout copies the unpacked path costs at flagship shapes (r3
+        device profile)."""
+        if self.kernel_size != 1 or self.stride != 1:
+            raise ValueError("packed input is only supported by the 1x1 head")
+        c = kernel.shape[2]
+        co = self.features
+        y = x.astype(jnp.float32) * pending["scale"][:, None, None, :]
+        y = y + pending["shift"][:, None, None, :]
+        if pending.get("relu"):
+            y = jnp.maximum(y, 0.0)
+        y = y.astype(self.dtype)
+        w = kernel[0, 0]  # (C, out)
+        w2 = jnp.zeros((2 * c, 2 * co), kernel.dtype)
+        w2 = w2.at[:c, :co].set(w).at[c:, co:].set(w)
+        y = jax.lax.conv_general_dilated(
+            y, w2[None, None].astype(self.dtype), (1, 1), "VALID",
+            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        )
+        if self.use_bias:
+            bias = self.param("bias", nn.initializers.zeros, (co,), self.param_dtype)
+            y = y + jnp.tile(bias.astype(self.dtype), 2)
+        b, hh, ww, c2 = y.shape
+        return y.reshape(b, hh, 2 * ww, co)
 
 
 class Dense(nn.Module):
@@ -402,11 +494,18 @@ class UpsampleBlock(nn.Module):
     up_type: str = "transpose"
     init_type: Optional[str] = None
     init_gain: float = 0.02
+    # int8 serving (set by _DecoderTail): hand the LayerNorm+relu to the next
+    # block as a per-(sample, channel) affine instead of applying it here —
+    # the consumer fuses it into its kernel prologue
+    defer_norm: bool = False
+    # int8 serving: let the deconv emit its lane-packed layout (last up
+    # block only — the packed-aware consumer is the 1x1 head)
+    allow_packed: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pending=None):
         common = dict(
             sn=self.sn,
             init_type=self.init_type,
@@ -414,17 +513,56 @@ class UpsampleBlock(nn.Module):
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )
+        if pending is not None and "transpose" not in self.up_type:
+            # deferred affine from a previous serving block; this up type
+            # has no fused consumer — apply it inline
+            x = x.astype(jnp.float32) * pending["scale"][:, None, None, :]
+            x = x + pending["shift"][:, None, None, :]
+            if pending.get("relu"):
+                x = jnp.maximum(x, 0.0)
+            x = x.astype(self.dtype)
+            pending = None
         if "transpose" in self.up_type:
-            y = ConvTranspose2d(
+            # int8 serving: ask the deconv kernel for in-kernel (sum, sumsq)
+            # stats when a LayerNorm follows — the norm then skips its
+            # full-output reduction (the f32 relayout copies it forces cost
+            # ~23 ms at flagship shapes, r3 device profile)
+            want_stats = self.norm == "layer"
+            out = ConvTranspose2d(
                 self.features,
                 self.kernel_size,
                 self.stride,
                 self.padding,
                 self.output_padding,
                 use_bias=self.use_bias,
+                serving_stats=want_stats,
+                allow_packed=self.allow_packed,
                 name="conv",
                 **common,
-            )(x)
+            )(x, pending=pending)
+            if isinstance(out, tuple):
+                y, s1, s2 = out
+                norm_cls = make_norm(self.norm)
+                # per-sample totals over the 4 phase groups x Co channels
+                stats = (jnp.sum(s1, axis=-1), jnp.sum(s2, axis=-1))
+                packed = y.shape[-1] != self.features
+                if self.defer_norm and self.activation in ("relu", None):
+                    a, b = norm_cls(
+                        name="norm", param_features=self.features
+                    )(y, stats=stats, defer=True)
+                    if packed:
+                        a = jnp.tile(a, (1, 2))
+                        b = jnp.tile(b, (1, 2))
+                    return y, {
+                        "scale": a,
+                        "shift": b,
+                        "relu": self.activation == "relu",
+                        "packed": packed,
+                    }
+                y = norm_cls(name="norm")(y, stats=stats)
+                act = get_activation(self.activation)
+                return act(y) if act is not None else y
+            y = out
         elif "nearest" in self.up_type:
             y = upsample_nearest(x, 2)
             y = ConvBlock(

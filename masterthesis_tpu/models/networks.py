@@ -185,17 +185,27 @@ class _DecoderTail(nn.Module):
     def __call__(self, h):
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
         d = self.dim
+        transpose = "transpose" in self.up_type
+        # int8 serving chain (inert in training/bf16: the flags only act
+        # when the deconv's quant path fires): each up block defers its
+        # LayerNorm+relu into the next kernel's prologue, and the last block
+        # hands its lane-packed output straight to the packed-aware 1x1 head
+        pending = None
         for i in range(self.num_ups):
-            h = UpsampleBlock(
+            out = UpsampleBlock(
                 d // 2, 3, 2, 1, 1, use_bias=self.use_bias, norm=self.norm,
-                activation=self.activation, up_type=self.up_type, name=f"up{i}", **common,
-            )(h)
+                activation=self.activation, up_type=self.up_type,
+                defer_norm=transpose,
+                allow_packed=transpose and i == self.num_ups - 1,
+                name=f"up{i}", **common,
+            )(h, pending=pending)
+            h, pending = out if isinstance(out, tuple) else (out, None)
             d //= 2
-        if "transpose" in self.up_type:
+        if transpose:
             h = UpsampleBlock(
                 self.output_dim, 1, 1, 0, activation="tanh", up_type="transpose",
                 name="head", **common,
-            )(h)
+            )(h, pending=pending)
         else:
             h = ConvBlock(self.output_dim, 7, 1, 3, activation="tanh", name="head", **common)(h)
         return h

@@ -90,14 +90,18 @@ class TranslationModel(Model):
     # ------------------------------------------------------------------ #
     # net application helpers
     # ------------------------------------------------------------------ #
-    def _apply(self, name, params, extra, *args, rngs=None, mutable=False, **kwargs):
+    def _apply(self, name, params, extra, *args, rngs=None, mutable=False,
+               quant=False, **kwargs):
         variables = {"params": params[name]}
         if extra is not None and extra.get(name):
             variables["spectral"] = extra[name]
-        quant = getattr(self, "quant_cols", None)
-        if quant and quant.get(name):
-            # int8 serving: eligible convs route through the Pallas kernel
-            variables["quant"] = quant[name]
+        # int8 serving: only the inference _forward_*_impl paths pass
+        # quant=True — the non-differentiable int8 convs must never be traced
+        # into a training/gradient graph, regardless of jit trace order.
+        quant_cols = getattr(self, "quant_cols", None) if quant else None
+        if quant_cols and quant_cols.get(name):
+            # eligible convs route through the Pallas int8 kernel
+            variables["quant"] = quant_cols[name]
         if mutable:
             # returns (out, {"spectral": new_u}); only valid when extra is set
             return self.nets[name].apply(
@@ -105,7 +109,7 @@ class TranslationModel(Model):
             )
         return self.nets[name].apply(variables, *args, rngs=rngs, **kwargs)
 
-    def encode_content(self, params, extra, img, rng=None, train=False):
+    def encode_content(self, params, extra, img, rng=None, train=False, quant=False):
         rngs = {"noise": rng} if (train and rng is not None) else None
         if train and getattr(self.args, "remat", False):
             # rematerialize encoder activations in the backward pass
@@ -118,7 +122,8 @@ class TranslationModel(Model):
 
             return jax.checkpoint(run)(params["content_encoder"], img, rng)
         return self._apply(
-            "content_encoder", params, extra, img, deterministic=not train, rngs=rngs
+            "content_encoder", params, extra, img, deterministic=not train,
+            rngs=rngs, quant=quant,
         )
 
     def encode_style(self, params, img, c, rng=None, train=False, sample=True):
@@ -133,7 +138,7 @@ class TranslationModel(Model):
         z = self._apply("style_encoder", params, None, img, c)
         return z, None, None
 
-    def decode(self, params, z_c, z, c, rng=None, train=False):
+    def decode(self, params, z_c, z, c, rng=None, train=False, quant=False):
         rngs = None
         use_dropout = getattr(self.args, "use_dropout", False)
         if train and rng is not None and use_dropout:
@@ -147,7 +152,8 @@ class TranslationModel(Model):
 
             return jax.checkpoint(run)(params["decoder"], z_c, z, c, rng)
         return self._apply(
-            "decoder", params, None, z_c, z, c, deterministic=not train, rngs=rngs
+            "decoder", params, None, z_c, z, c, deterministic=not train,
+            rngs=rngs, quant=quant,
         )
 
     def discriminate(self, params, extra, name, img):
@@ -193,11 +199,15 @@ class TranslationModel(Model):
                 {"params": params["decoder"]},
                 z_c, z, c, deterministic=True, mutable=["calib"],
             )
-            return cal_e["calib"], cal_d["calib"]
+            # zero-size batches sow nothing; tolerate a missing collection
+            return cal_e.get("calib", {}), cal_d.get("calib", {})
 
+        contributed = 0
         for i, img in enumerate(images):
             img = jnp.asarray(img)
             b = img.shape[0]
+            if b == 0:
+                continue
             rng, kz, kc = jax.random.split(rng, 3)
             if c_trgs is not None:
                 c = jnp.asarray(c_trgs[i])
@@ -207,9 +217,19 @@ class TranslationModel(Model):
                 )
             z = self.get_z_random(kz, b)
             cal_e, cal_d = calib_pass(state.params, img, z, c)
+            if not cal_e and not cal_d:
+                continue
+            contributed += 1
             cols["content_encoder"] = merge_amax(cols["content_encoder"], cal_e)
             cols["decoder"] = merge_amax(cols["decoder"], cal_d)
-        self.quant_cols = {k: extract_amax(v) for k, v in cols.items() if v is not None}
+        if contributed == 0:
+            raise ValueError(
+                "calibrate_int8: no calibration batch contributed activation "
+                "ranges (all batches empty?) — int8 serving not enabled"
+            )
+        self.quant_cols = {
+            k: extract_amax(v) for k, v in cols.items() if v
+        }
         # re-trace the inference paths so the quant constants are baked in
         self._forward_jit = jax.jit(self._forward_impl)
         self._forward_random_jit = jax.jit(self._forward_random_impl)
@@ -569,13 +589,13 @@ class TranslationModel(Model):
     # inference (reference base_model.py:112-156)
     # ------------------------------------------------------------------ #
     def _forward_random_impl(self, params, img, z_r, c_trg):
-        z_c = self.encode_content(params, None, img, train=False)
-        return self.decode(params, z_c, z_r, c_trg, train=False)
+        z_c = self.encode_content(params, None, img, train=False, quant=True)
+        return self.decode(params, z_c, z_r, c_trg, train=False, quant=True)
 
     def _forward_reference_impl(self, params, img_src, img_ref, c_trg, rng):
-        z_c = self.encode_content(params, None, img_src, train=False)
+        z_c = self.encode_content(params, None, img_src, train=False, quant=True)
         z_s, _, _ = self.encode_style(params, img_ref, c_trg, rng, train=False, sample=True)
-        return self.decode(params, z_c, z_s, c_trg, train=False)
+        return self.decode(params, z_c, z_s, c_trg, train=False, quant=True)
 
     def forward_random(self, state, img, z_r, c_trg):
         """Translate with a random style code; returns (images, seconds, device_mem_GB)
@@ -606,7 +626,7 @@ class TranslationModel(Model):
         """(img_fake, img_random, img_self) triple (base_model.py:130-156)."""
         b = img.shape[0] // 2
         k1, k2 = jax.random.split(rng)
-        z_c = self.encode_content(params, None, img, train=False)
+        z_c = self.encode_content(params, None, img, train=False, quant=True)
         z_s, _, _ = self.encode_style(params, img, c_org, k1, train=False, sample=True)
         z_sr = self.get_z_random(k2, b)
         z_ca, z_cb = z_c[:b], z_c[b:]
@@ -615,7 +635,7 @@ class TranslationModel(Model):
         content = jnp.concatenate([z_cb, z_ca, z_cb, z_ca, z_cb, z_ca], axis=0)
         style = jnp.concatenate([z_sa, z_sa, z_sr, z_sb, z_sb, z_sr], axis=0).astype(z_s.dtype)
         trg = jnp.concatenate([cls_a, cls_a, cls_a, cls_b, cls_b, cls_b], axis=0)
-        fakes = self.decode(params, content, style, trg, train=False)
+        fakes = self.decode(params, content, style, trg, train=False, quant=True)
         img_ba, img_aa, img_br, img_ab, img_bb, img_ar = jnp.split(fakes, 6, axis=0)
         img_fake = jnp.concatenate([img_ba, img_ab], axis=0)
         img_random = jnp.concatenate([img_br, img_ar], axis=0)

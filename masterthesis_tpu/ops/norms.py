@@ -15,9 +15,11 @@ result is cast back — on TPU the normalization fuses into neighbouring convs.
 """
 from __future__ import annotations
 
-from typing import Any
+from typing import Any, Optional
 
+import jax
 import jax.numpy as jnp
+import numpy as np
 from flax import linen as nn
 
 from masterthesis_tpu.ops.initializers import (
@@ -67,9 +69,21 @@ def layer_norm(
     scale: jnp.ndarray | None = None,
     bias: jnp.ndarray | None = None,
     eps: float = 1e-5,
+    stats: tuple[jnp.ndarray, jnp.ndarray] | None = None,
 ) -> jnp.ndarray:
-    """Per-sample normalization over (H, W, C) with per-channel affine."""
-    mean, var = _moments(x, axes=(1, 2, 3))
+    """Per-sample normalization over (H, W, C) with per-channel affine.
+
+    ``stats``: optional per-sample f32 ``(sum, sumsq)`` of x (shape (N,)) —
+    produced in-kernel by the int8 serving convs — replacing the full-output
+    reduction (one-pass E[x^2]-mean^2 with a >=0 clamp: f32 sums + the norm
+    eps keep the near-constant corner safe; see DESIGN.md on variance).
+    """
+    if stats is not None:
+        n = float(x.shape[1] * x.shape[2] * x.shape[3])
+        mean = (stats[0] / n).reshape(-1, 1, 1, 1)
+        var = jnp.maximum(stats[1] / n - (stats[0] / n) ** 2, 0.0).reshape(-1, 1, 1, 1)
+    else:
+        mean, var = _moments(x, axes=(1, 2, 3))
     y = (x.astype(jnp.float32) - mean) * jax_rsqrt(var + eps)
     if scale is not None:
         y = y * scale.astype(jnp.float32)
@@ -107,20 +121,39 @@ class InstanceNorm(nn.Module):
 
 
 class LayerNorm(nn.Module):
-    """Reference-style LayerNorm: normalize over (H, W, C), per-channel affine."""
+    """Reference-style LayerNorm: normalize over (H, W, C), per-channel affine.
+
+    ``stats`` (optional per-sample (sum, sumsq)) skips the reduction pass —
+    the int8 serving deconvs emit these from inside their Pallas kernel.
+    """
 
     affine: bool = True
     eps: float = 1e-5
+    # override the affine param length when x is in the int8 serving convs'
+    # lane-packed layout (x.shape[-1] != true channel count)
+    param_features: Optional[int] = None
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, stats=None, defer=False):
         scale = bias = None
+        c = self.param_features or x.shape[-1]
         if self.affine:
-            c = x.shape[-1]
             scale = self.param("scale", nn.initializers.ones, (c,), self.param_dtype)
             bias = self.param("bias", nn.initializers.zeros, (c,), self.param_dtype)
-        return layer_norm(x, scale, bias, eps=self.eps)
+        if defer:
+            # int8 serving: fold the whole LN into a per-(sample, channel)
+            # affine the NEXT kernel applies as its prologue. Requires stats.
+            n = float(np.prod(x.shape[1:]))
+            s, sq = stats
+            mean = s.astype(jnp.float32) / n
+            var = jnp.maximum(sq.astype(jnp.float32) / n - mean**2, 0.0)
+            inv = jax.lax.rsqrt(var + self.eps)
+            g = (scale if scale is not None else jnp.ones((c,))).astype(jnp.float32)
+            b = (bias if bias is not None else jnp.zeros((c,))).astype(jnp.float32)
+            a = g[None, :] * inv[:, None]
+            return a, b[None, :] - mean[:, None] * a
+        return layer_norm(x, scale, bias, eps=self.eps, stats=stats)
 
 
 class AdaptiveInstanceNorm(nn.Module):

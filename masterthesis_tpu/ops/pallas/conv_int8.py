@@ -328,6 +328,10 @@ def int8_conv3x3(
     use_pallas = interpret or (
         interpret is None and jax.default_backend() == "tpu"
     )
+    # the Pallas kernel implements reflect/zero border fill only; 'replicate'
+    # (edge) padding takes the jnp path (identical int8 math, lax conv)
+    if padding_type == "replicate":
+        use_pallas = False
     if stride == 1 and use_pallas and conv3x3_eligible(x, w.shape[-1]):
         # activation quantization happens inside the kernel (fused with pad)
         return pallas_int8_conv3x3(
@@ -351,6 +355,375 @@ def int8_conv3x3(
         s2 = jnp.sum(y * y, axis=(1, 2))
         return y.astype(out_dtype), s1, s2
     return y.astype(out_dtype)
+
+
+# --------------------------------------------------------------------------- #
+# int8 transposed conv (k=3, s=2, p=1, op=1) — the decoder upsample tail
+# --------------------------------------------------------------------------- #
+def subpixel_weights(w: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,C,Co) transpose-conv kernel -> (2,2,C,4Co) sub-pixel phase taps.
+
+    Same decomposition as models/blocks.py `_subpixel_conv_transpose`
+    (exactness-tested in tests/test_blocks.py): output phase (p, q) channels
+    live at [(2p+q)*Co : (2p+q+1)*Co]; tap positions index a 2x2 VALID conv
+    over the input padded (0,1)x(0,1). Works for any dtype (int8 taps pass
+    through unchanged, zeros are exact).
+    """
+    cin, cout = w.shape[2], w.shape[3]
+    w4 = jnp.zeros((2, 2, cin, 4 * cout), w.dtype)
+    w4 = w4.at[0, 0, :, 0 * cout : 1 * cout].set(w[1, 1])
+    w4 = w4.at[0, 0, :, 1 * cout : 2 * cout].set(w[1, 0])
+    w4 = w4.at[0, 1, :, 1 * cout : 2 * cout].set(w[1, 2])
+    w4 = w4.at[0, 0, :, 2 * cout : 3 * cout].set(w[0, 1])
+    w4 = w4.at[1, 0, :, 2 * cout : 3 * cout].set(w[2, 1])
+    w4 = w4.at[0, 0, :, 3 * cout : 4 * cout].set(w[0, 0])
+    w4 = w4.at[0, 1, :, 3 * cout : 4 * cout].set(w[0, 2])
+    w4 = w4.at[1, 0, :, 3 * cout : 4 * cout].set(w[2, 0])
+    w4 = w4.at[1, 1, :, 3 * cout : 4 * cout].set(w[2, 2])
+    return w4
+
+
+def _make_deconv_kernel(h: int, w: int, c: int, c_out: int, out_dtype,
+                        row_chunk: int, hb: int, prologue: bool,
+                        prologue_relu: bool, with_stats: bool,
+                        lane_pack: bool = False):
+    from jax.experimental import pallas as pl
+
+    def kernel(*refs):
+        if prologue and with_stats:
+            (x_ref, w_ref, scale_ref, bias_ref, inv_sx_ref, pa_ref, pb_ref,
+             o_ref, sum_ref, sq_ref, padded) = refs
+        elif prologue:
+            (x_ref, w_ref, scale_ref, bias_ref, inv_sx_ref, pa_ref, pb_ref,
+             o_ref, padded) = refs
+        elif with_stats:
+            (x_ref, w_ref, scale_ref, bias_ref, inv_sx_ref,
+             o_ref, sum_ref, sq_ref, padded) = refs
+        else:
+            x_ref, w_ref, scale_ref, bias_ref, inv_sx_ref, o_ref, padded = refs
+        _body(x_ref, w_ref, scale_ref, bias_ref, inv_sx_ref,
+              pa_ref[0, 0] if prologue else None,
+              pb_ref[0, 0] if prologue else None,
+              o_ref,
+              sum_ref if with_stats else None,
+              sq_ref if with_stats else None,
+              padded)
+
+    def _body(x_ref, w_ref, scale_ref, bias_ref, inv_sx_ref, pa, pb,
+              o_ref, sum_ref, sq_ref, padded):
+        j = pl.program_id(1)
+
+        # ---- quantize + zero-pad (hi edge only: sub-pixel 2x2 conv over a
+        # (0,1)x(0,1)-padded input) into the persistent scratch — once per
+        # image, at the first output row-block. Optional fused prologue:
+        # previous layer's per-(sample, channel) norm affine + relu. ----
+        @pl.when(j == 0)
+        def _():
+            inv_sx = inv_sx_ref[0, 0]
+            for r in range(0, h, row_chunk):
+                chunk = x_ref[0, pl.ds(r, row_chunk), :, :].astype(jnp.float32)
+                if pa is not None:
+                    chunk = chunk * pa[None, None, :] + pb[None, None, :]
+                    if prologue_relu:
+                        chunk = jnp.maximum(chunk, 0.0)
+                q = jnp.clip(jnp.round(chunk * inv_sx), -INT8_MAX, INT8_MAX)
+                padded[pl.ds(r, row_chunk), 0:w, :] = q.astype(jnp.int8)
+            padded[h, :, :] = jnp.zeros((w + 1, c), jnp.int8)
+            padded[:, w, :] = jnp.zeros((h + 1, c), jnp.int8)
+
+        # ---- 4-tap MXU pass over this block's input rows; interleave the
+        # 4 phase groups to the (2x, 2x) output in-register (sublane-merge
+        # reshapes; no lane crossing since each phase keeps its Co lanes) ----
+        scale = scale_ref[0]
+        bias = bias_ref[0]
+        st_sum = st_sq = None
+        for r in range(0, hb, row_chunk):
+            row0 = j * hb + r
+            s = None
+            for a in range(2):
+                for b_ in range(2):
+                    t = padded[pl.ds(row0 + a, row_chunk), pl.ds(b_, w), :]
+                    d = jax.lax.dot_general(
+                        t, w_ref[a * 2 + b_], (((2,), (0,)), ((), ())),
+                        preferred_element_type=jnp.int32,
+                    )
+                    s = d if s is None else s + d
+            y = s.astype(jnp.float32) * scale[None, None, :] + bias[None, None, :]
+            if sum_ref is not None:
+                ps = jnp.sum(y, axis=(0, 1))[None, :]
+                pq = jnp.sum(y * y, axis=(0, 1))[None, :]
+                st_sum = ps if st_sum is None else st_sum + ps
+                st_sq = pq if st_sq is None else st_sq + pq
+            y = y.astype(out_dtype)
+            # (rc, w, 4Co): [0:Co]=phase(0,0) [Co:2Co]=(0,1) [2Co:]=(1,0),(1,1)
+            if lane_pack:
+                # Co below the 128-lane width: Mosaic cannot split the lane
+                # dim, so emit rows as (w, 2Co) pairs — the column interleave
+                # is the (free, row-major-contiguous) trailing reshape
+                # (..., W, 2Co) -> (..., 2W, Co) done by XLA outside.
+                even = y[:, :, : 2 * c_out]
+                odd = y[:, :, 2 * c_out :]
+                rows = jnp.stack([even, odd], axis=1).reshape(
+                    2 * row_chunk, w, 2 * c_out
+                )
+            else:
+                even = jnp.stack(
+                    [y[:, :, 0:c_out], y[:, :, c_out : 2 * c_out]], axis=2
+                ).reshape(row_chunk, 2 * w, c_out)
+                odd = jnp.stack(
+                    [y[:, :, 2 * c_out : 3 * c_out], y[:, :, 3 * c_out :]], axis=2
+                ).reshape(row_chunk, 2 * w, c_out)
+                rows = jnp.stack([even, odd], axis=1).reshape(
+                    2 * row_chunk, 2 * w, c_out
+                )
+            o_ref[0, pl.ds(2 * r, 2 * row_chunk), :, :] = rows
+        if sum_ref is not None:
+            @pl.when(j == 0)
+            def _():
+                sum_ref[...] = st_sum[None]
+                sq_ref[...] = st_sq[None]
+
+            @pl.when(j != 0)
+            def _():
+                sum_ref[...] += st_sum[None]
+                sq_ref[...] += st_sq[None]
+
+    return kernel
+
+
+def pallas_int8_deconv(
+    x: jnp.ndarray,
+    w4_q: jnp.ndarray,
+    scale4: jnp.ndarray,
+    bias4: Optional[jnp.ndarray] = None,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    inv_act_scale=None,
+    prologue_scale: Optional[jnp.ndarray] = None,
+    prologue_shift: Optional[jnp.ndarray] = None,
+    prologue_relu: bool = False,
+    with_stats: bool = False,
+    row_blocks: Optional[int] = None,
+    packed_out: bool = False,
+):
+    """(B,H,W,C) float x (2,2,C,4Co) int8 phase taps -> (B,2H,2W,Co).
+
+    The torch/flax ``ConvTranspose(k=3, s=2, p=1, op=1)`` — every stride-2
+    upsample in the decoders — via the sub-pixel decomposition
+    (``subpixel_weights``): 4 dense MXU taps to 4Co phase channels, deq +
+    bias, then an in-register interleave to the 2x-resolution output. The
+    4Co layout does 32 hwCCo int-MACs vs the dilated form's 72 (XLA's
+    input-dilated conv multiplies 75% zeros).
+
+    ``scale4``/``bias4``: (4Co,) per-phase-channel dequant scale / bias (the
+    Co-periodic tiling of the per-channel values). ``prologue_*``: f32 (B, C)
+    per-(sample, channel) affine (+relu) applied before in-kernel
+    quantization — fuses the previous layer norm. ``with_stats``: also return
+    f32 (B, 4Co) spatial (sum, sumsq) per phase group (reduce the 4 groups
+    for whole-output stats). ``row_blocks`` splits the output rows across
+    grid steps to bound VMEM (auto: 2 when the working set is large).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = x.shape
+    c4 = w4_q.shape[-1]
+    c_out = c4 // 4
+    if bias4 is None:
+        bias4 = jnp.zeros((c4,), jnp.float32)
+    if inv_act_scale is None:
+        inv_act_scale = jnp.ones((), jnp.float32)
+    if row_blocks is None:
+        # out block + x + padded scratch target <= ~12 MB
+        full = 4 * h * w * c_out * 2 + x.size // b * x.dtype.itemsize + (h + 1) * (w + 1) * c
+        row_blocks = 1 if full <= 12_000_000 else 2
+    hb = h // row_blocks
+    row_chunk = next(rc for rc in (8, 4, 2, 1) if hb % rc == 0)
+    # Co >= one 128-lane register: interleave columns in-kernel. Smaller Co:
+    # emit (2H, W, 2Co) lane-paired rows and let the (contiguous) trailing
+    # reshape outside produce the column interleave.
+    lane_pack = c_out % 128 != 0
+    kernel = _make_deconv_kernel(
+        h, w, c, c_out, out_dtype, row_chunk, hb,
+        prologue_scale is not None, prologue_relu, with_stats,
+        lane_pack=lane_pack,
+    )
+    in_specs = [
+        pl.BlockSpec((1, h, w, c), lambda i, j: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((4, c, c4), lambda i, j: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c4), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c4), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i, j: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    operands = [
+        x,
+        w4_q.reshape(4, c, c4),
+        scale4.reshape(1, c4).astype(jnp.float32),
+        bias4.reshape(1, c4).astype(jnp.float32),
+        jnp.reshape(jnp.asarray(inv_act_scale, jnp.float32), (1, 1)),
+    ]
+    if prologue_scale is not None:
+        in_specs += [
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        operands += [
+            prologue_scale.astype(jnp.float32).reshape(b, 1, c),
+            prologue_shift.astype(jnp.float32).reshape(b, 1, c),
+        ]
+    if lane_pack:
+        out_specs = pl.BlockSpec(
+            (1, 2 * hb, w, 2 * c_out), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((b, 2 * h, w, 2 * c_out), out_dtype)
+    else:
+        out_specs = pl.BlockSpec(
+            (1, 2 * hb, 2 * w, c_out), lambda i, j: (i, j, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+        out_shape = jax.ShapeDtypeStruct((b, 2 * h, 2 * w, c_out), out_dtype)
+    if with_stats:
+        stat_spec = pl.BlockSpec((1, 1, c4), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM)
+        stat_shape = jax.ShapeDtypeStruct((b, 1, c4), jnp.float32)
+        out_specs = (out_specs, stat_spec, stat_spec)
+        out_shape = (out_shape, stat_shape, stat_shape)
+    result = pl.pallas_call(
+        kernel,
+        grid=(b, row_blocks),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((h + 1, w + 1, c), jnp.int8),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h * w * 4 * c * c4,
+            bytes_accessed=x.size * x.dtype.itemsize + w4_q.size
+            + b * 4 * h * w * c_out * 2,
+            transcendentals=0,
+        ),
+        # the double-buffered in/out blocks exceed the 16 MB default scoped
+        # limit at flagship shapes; v5e has 128 MB physical VMEM per core
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    if with_stats:
+        y, s1, s2 = result
+        if lane_pack and not packed_out:
+            y = y.reshape(b, 2 * h, 2 * w, c_out)
+        return y, s1.reshape(b, c4), s2.reshape(b, c4)
+    if lane_pack and not packed_out:
+        result = result.reshape(b, 2 * h, 2 * w, c_out)
+    return result
+
+
+def deconv_eligible(x: jnp.ndarray, features: int) -> bool:
+    """Kernel eligibility for the (3,2,1,1) transposed conv serving path."""
+    if x.ndim != 4:
+        return False
+    b, h, w, c = x.shape
+    return (
+        c % 128 == 0
+        # lane-packed store needs 2*Co lane-aligned (Co=64: pairs fill a reg)
+        and (2 * features) % 128 == 0
+        and h % 2 == 0
+        and h >= 8
+        and w >= 8
+        and (h + 1) * (w + 1) * c <= 4_200_000  # padded int8 scratch
+        and 2 * h * w * features * 2 <= 4_500_000  # half-out block (bf16)
+    )
+
+
+def jnp_int8_deconv(x_q: jnp.ndarray, w4_q: jnp.ndarray) -> jnp.ndarray:
+    """Exact int32 sub-pixel deconv of int8 operands (CPU path/oracle)."""
+    xp = jnp.pad(x_q, ((0, 0), (0, 1), (0, 1), (0, 0)))
+    dn = jax.lax.conv_dimension_numbers(xp.shape, w4_q.shape, ("NHWC", "HWIO", "NHWC"))
+    acc = jax.lax.conv_general_dilated(
+        xp, w4_q, (1, 1), "VALID", dimension_numbers=dn,
+        preferred_element_type=jnp.int32,
+    )
+    # phase layout [(0,0),(0,1),(1,0),(1,1)] -> depth-to-space
+    n, hh, ww, c4 = acc.shape
+    co = c4 // 4
+    y = acc.reshape(n, hh, ww, 2, 2, co)
+    y = y.transpose(0, 1, 3, 2, 4, 5)
+    return y.reshape(n, 2 * hh, 2 * ww, co)
+
+
+def int8_deconv(
+    x: jnp.ndarray,
+    w: jnp.ndarray,
+    amax_in,
+    bias: Optional[jnp.ndarray] = None,
+    out_dtype=None,
+    interpret: Optional[bool] = None,
+    prologue_scale: Optional[jnp.ndarray] = None,
+    prologue_shift: Optional[jnp.ndarray] = None,
+    prologue_relu: bool = False,
+    with_stats: bool = False,
+    packed_out: bool = False,
+):
+    """Quantize-deconv-dequantize for ConvTranspose(3, 2, 1, 1).
+
+    x: float NHWC; w: float (3,3,C,Co) transpose-conv kernel (flax HWIO);
+    ``amax_in`` the calibrated per-tensor activation amax. Dispatches to the
+    Pallas sub-pixel kernel on TPU; elsewhere the identical integer math via
+    ``jnp_int8_deconv``. Returns ``y`` or ``(y, sum4, sumsq4)`` with the
+    (B, 4Co) per-phase-group stats.
+
+    ``packed_out``: when the kernel would emit the lane-packed
+    ``(B, 2H, W, 2Co)`` layout anyway (Co below the 128-lane width), return
+    it unreshaped — callers that consume the packed layout directly (the
+    decoder 1x1 head) avoid the ~10 ms relayout copy at flagship shapes.
+    The column interleave is ``y.reshape(B, 2H, 2W, Co)`` (row-major
+    contiguous). Callers detect packing via ``y.shape[-1] != Co``.
+    """
+    out_dtype = out_dtype or x.dtype
+    amax = jnp.maximum(jnp.asarray(amax_in, jnp.float32), 1e-12)
+    inv_sx = INT8_MAX / amax
+    sx = amax / INT8_MAX
+    w_q, sw = quantize_weight(w)  # per-Co scales
+    w4_q = subpixel_weights(w_q)
+    scale4 = jnp.tile((sx * sw).astype(jnp.float32), 4)
+    c_out = w.shape[-1]
+    bias32 = jnp.zeros((c_out,), jnp.float32) if bias is None else bias.astype(jnp.float32)
+    bias4 = jnp.tile(bias32, 4)
+    use_pallas = interpret or (interpret is None and jax.default_backend() == "tpu")
+    if use_pallas and deconv_eligible(x, c_out):
+        return pallas_int8_deconv(
+            x, w4_q, scale4, bias4, out_dtype, interpret=bool(interpret),
+            inv_act_scale=inv_sx, prologue_scale=prologue_scale,
+            prologue_shift=prologue_shift, prologue_relu=prologue_relu,
+            with_stats=with_stats, packed_out=packed_out,
+        )
+    if prologue_scale is not None:
+        x = x.astype(jnp.float32) * prologue_scale[:, None, None, :]
+        x = x + prologue_shift[:, None, None, :]
+        if prologue_relu:
+            x = jnp.maximum(x, 0.0)
+    x_q, _ = quantize_act(x, amax)
+    acc = jnp_int8_deconv(x_q, w4_q)
+    scale = (sx * sw).astype(jnp.float32)
+    y = acc.astype(jnp.float32) * scale[None, None, None, :] + bias32[None, None, None, :]
+    y = y.astype(out_dtype)
+    if packed_out and c_out % 128 != 0:
+        # same packed (B, 2H, W, 2Co) layout the kernel would emit
+        b_, hh, ww, co = y.shape
+        y = y.reshape(b_, hh, ww // 2, 2 * co)
+    if with_stats:
+        # per-phase-group sums to match the kernel's (B, 4Co) contract
+        yf = acc.astype(jnp.float32) * scale[None, None, None, :] + bias32[None, None, None, :]
+        b_, hh, ww, co = yf.shape
+        y5 = yf.reshape(b_, hh // 2, 2, ww // 2, 2, co)
+        groups = []
+        for p in range(2):
+            for q in range(2):
+                groups.append(y5[:, :, p, :, q, :])
+        s1 = jnp.concatenate([jnp.sum(g, axis=(1, 2)) for g in groups], axis=-1)
+        s2 = jnp.concatenate([jnp.sum(g * g, axis=(1, 2)) for g in groups], axis=-1)
+        return y, s1, s2
+    return y
 
 
 # --------------------------------------------------------------------------- #
@@ -578,6 +951,8 @@ def int8_resblock(
     w1_q, sw1 = quantize_weight(w1)
     w2_q, sw2 = quantize_weight(w2)
     use_pallas = interpret or (interpret is None and jax.default_backend() == "tpu")
+    if padding_type == "replicate":  # kernel fills reflect/zero borders only
+        use_pallas = False
     if use_pallas and resblock_eligible(x):
         return pallas_int8_resblock(
             x, w1_q, w2_q,

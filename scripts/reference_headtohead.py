@@ -1,0 +1,366 @@
+"""Head-to-head quality comparison: PyTorch reference vs this framework.
+
+The quality north star ("FID within 1 pt of the PyTorch reference",
+BASELINE.json) needs the reference actually RUN, not assumed. This script
+trains BOTH frameworks on the identical synthetic 4-domain dataset
+(scripts/quality_trend.py's generator, same seed -> bitwise-identical image
+files) at an identical reduced-scale config, then scores every checkpoint of
+both sides with the IDENTICAL pixel-statistics FID evaluator (same val
+content lists, same numpy-seeded style codes z).
+
+Config (both sides): AdaINModel flagship family — reparam VAE style encoder,
+AdaIN decoder, vanilla GAN, lambda_cls 1.0 / cls_G 5.0 / rec 10.0, Adam
+(1e-4, 0.5/0.999, wd 1e-4), linear lr decay from iters/2. `use_dis_content`
+is OFF on both sides: the reference ContentDiscriminator's fixed conv stack
+(reference networks.py:386-419) needs crop_size >= 184, which is not
+CPU-trainable at useful iteration counts (the torch side runs on the host
+CPU: this environment's TPU is JAX-only).
+
+The torch side drives the reference's own training code
+(`AdaINModel.optimize_parameters`, reference adain_model.py /
+base_model.py:461-470) with this framework's data pipeline feeding NCHW
+tensors (the reference's own DataLoader stack needs torchvision, absent
+here; the transform math is parity-tested in tests/test_data.py).
+
+Run (torch side is CPU-slow — background it):
+  python scripts/reference_headtohead.py --side ref
+  python scripts/reference_headtohead.py --side tpu
+  python scripts/reference_headtohead.py --side report
+
+(the ref side forces jax onto CPU itself — the ambient axon platform pins
+any jax-importing process to the single TPU, and `JAX_PLATFORMS=cpu` in the
+environment is overridden by sitecustomize on this machine)
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import sys
+import time
+import types
+
+import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+from quality_trend import DOMAINS, make_dataset  # noqa: E402
+
+REF = "/root/reference/src"
+
+CFG = dict(
+    dim=32, latent_dim=8, num_domains=4, input_dim=3, batch_size=2,
+    gan_mode="vanilla", lambda_cls=1.0, lambda_cls_G=5.0, lambda_rec=10.0,
+    lr=1e-4, beta1=0.5, beta2=0.999, wd=1e-4,
+)
+
+
+# --------------------------------------------------------------------------- #
+# shared evaluator: pixel-statistics FID over identical content/style draws
+# --------------------------------------------------------------------------- #
+def eval_translator(translate, dataroot, load_size, crop_size, num_styles=2,
+                    seed=123):
+    """translate(imgs_nhwc_f32, z, c_onehot) -> imgs_nhwc_f32 in [-1, 1].
+
+    Returns {domain: fid} + 'mean'. Content lists, crops and z draws are all
+    derived from `seed`, so both frameworks score on identical inputs.
+    """
+    import jax
+    import jax.numpy as jnp
+
+    from masterthesis_tpu.data.datasets import ImageList
+    from masterthesis_tpu.data.transforms import TrainTransform
+    from masterthesis_tpu.metrics.fid import FID
+
+    transform = TrainTransform(load_size, crop_size, train=False)
+    mode_dir = os.path.join(dataroot, "val")
+    results = {}
+    rng = np.random.default_rng(seed)
+
+    def pixel_features(x):
+        t4 = jax.image.resize(
+            jnp.asarray(x, jnp.float32), (x.shape[0], 4, 4, x.shape[-1]), "linear"
+        )
+        return t4.reshape(x.shape[0], -1)
+
+    for t, domain in enumerate(sorted(DOMAINS)):
+        fid = FID(num_features=48, feature_extractor=pixel_features)
+        real_ds = ImageList(os.path.join(mode_dir, domain), transform=transform)
+        content_paths = []
+        for d2 in sorted(DOMAINS):
+            if d2 != domain:
+                content_paths += ImageList(os.path.join(mode_dir, d2)).dataset
+        content_paths = content_paths[: len(real_ds)]
+        trg1 = np.eye(CFG["num_domains"], dtype=np.float32)[t]
+        for start in range(0, len(content_paths), 8):
+            chunk = content_paths[start : start + 8]
+            imgs = np.stack([transform.load_file(p) for p in chunk]).astype(np.float32)
+            bsz = imgs.shape[0]
+            trg = np.tile(trg1, (bsz, 1))
+            for _ in range(num_styles):
+                z = rng.standard_normal((bsz, CFG["latent_dim"])).astype(np.float32)
+                fake = np.asarray(translate(imgs, z, trg), np.float32)
+                reals = np.stack(
+                    [np.asarray(real_ds[(start + j) % len(real_ds)], np.float32)
+                     for j in range(bsz)]
+                )
+                fid.update(((fake + 1.0) / 2.0, (reals + 1.0) / 2.0))
+        results[domain] = float(fid.compute())
+    results["mean"] = float(np.mean([results[d] for d in sorted(DOMAINS)]))
+    return results
+
+
+def data_feed(args_like, seed=0):
+    """Infinite {x1,x2,y1,y2} NHWC float batch generator (PairedDataset
+    semantics, shared by both sides)."""
+    from masterthesis_tpu.data.datasets import PairedDataset
+
+    ds = PairedDataset(args_like, seed=seed)
+    n = len(ds)
+    i = 0
+    while True:
+        rows = [ds[(i + j) % n] for j in range(args_like.batch_size)]
+        i += args_like.batch_size
+        yield {
+            k: np.stack([r[k] for r in rows]).astype(np.float32)
+            for k in ("x1", "x2", "y1", "y2")
+        }
+
+
+# --------------------------------------------------------------------------- #
+# torch reference side
+# --------------------------------------------------------------------------- #
+def install_reference():
+    if REF not in sys.path:
+        sys.path.insert(0, REF)
+    for name in ("torchvision", "torchvision.transforms",
+                 "torchvision.models", "torchvision.models.vgg",
+                 "torchvision.utils"):
+        if name not in sys.modules:
+            sys.modules[name] = types.ModuleType(name)
+    sys.modules["torchvision"].transforms = sys.modules["torchvision.transforms"]
+    sys.modules["torchvision"].models = sys.modules["torchvision.models"]
+    sys.modules["torchvision"].utils = sys.modules["torchvision.utils"]
+    sys.modules["torchvision.models"].vgg = sys.modules["torchvision.models.vgg"]
+    import torch
+
+    orig_get_device = torch.Tensor.get_device
+
+    def cpu_safe_get_device(self):
+        d = orig_get_device(self)
+        return "cpu" if isinstance(d, int) and d < 0 else d
+
+    torch.Tensor.get_device = cpu_safe_get_device
+
+
+def ref_args(cli, ckpt_dir):
+    from types import SimpleNamespace
+
+    return SimpleNamespace(
+        **CFG,
+        enc_norm="instance", up_type="transpose", dec_norm="layer",
+        use_dropout=False, mode="train", ms_dis=False, dis_norm=None,
+        dis_sn=False, crop_size=cli.size, use_dis_content=False,
+        use_ragan=False, vgg_loss=None, logdir=os.path.join(cli.out, "ref_logs"),
+        reparam=True, concat=False, num_scales=3, d_iter=3,
+        resume=None, resume_opt=None, init_type="normal", init_gain=0.02,
+        gpu_ids=[], last_iter=-1, lr_policy="lambda",
+        n_iters=cli.iters, n_iter_decay=cli.iters // 2,
+        checkpoint_dir=ckpt_dir,
+    )
+
+
+def run_ref(cli):
+    # the torch side must NOT touch the TPU (one-process rule); env
+    # JAX_PLATFORMS=cpu is overridden by sitecustomize, so force it here
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+    install_reference()
+    import torch
+
+    torch.manual_seed(cli.seed)
+    import models as ref_models  # reference package
+
+    ckpt_dir = os.path.join(cli.out, "ref_ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    args = ref_args(cli, ckpt_dir)
+    model = ref_models.AdaINModel(args)
+    model.initialize()
+
+    feed_args = types.SimpleNamespace(
+        dataroot=os.path.join(cli.out, "data"), mode="train",
+        load_size=cli.size + 16, crop_size=cli.size, no_flip=False,
+        batch_size=cli.batch_size, num_domains=4, select_domains=None,
+    )
+    feed = data_feed(feed_args, seed=cli.seed)
+    times, rows = [], []
+    for it in range(1, cli.iters + 1):
+        batch = next(feed)
+        tb = {
+            k: torch.from_numpy(
+                v.transpose(0, 3, 1, 2) if v.ndim == 4 else v
+            )
+            for k, v in batch.items()
+        }
+        t0 = time.perf_counter()
+        model.update_lr()
+        model.set_inputs(tb)
+        model.optimize_parameters(it)
+        times.append(time.perf_counter() - t0)
+        if it % 50 == 0:
+            keep = {k: float(v) for k, v in model.loss.items()
+                    if k in ("g_adv", "g_cls", "l1_cc_rec")}
+            print(f"[ref] iter {it} {keep} {np.mean(times[-50:]):.2f}s/it",
+                  flush=True)
+        if it % cli.ckpt_every == 0 or it == cli.iters:
+            model.save(it)
+
+    # evaluate every checkpoint with the shared evaluator
+    for net in model.model:
+        model.model[net].eval()
+
+    def make_translate(ckpt):
+        state = torch.load(ckpt)
+        for net in state:
+            model.model[net].load_state_dict(state[net])
+
+        def translate(imgs, z, trg):
+            with torch.no_grad():
+                ti = torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+                z_c = model.model.content_encoder(ti)
+                out = model.model.decoder(
+                    z_c, torch.from_numpy(z), torch.from_numpy(trg)
+                )
+            return out.numpy().transpose(0, 2, 3, 1)
+
+        return translate
+
+    results = []
+    for it in sorted(
+        int(f.split("_")[1].split(".")[0])
+        for f in os.listdir(ckpt_dir) if f.startswith("model_")
+    ):
+        fids = eval_translator(
+            make_translate(os.path.join(ckpt_dir, f"model_{it}.ckpt")),
+            os.path.join(cli.out, "data"), cli.size + 16, cli.size,
+        )
+        row = {"iter": it, **{f"fid_{k}": round(v, 3) for k, v in fids.items()}}
+        print("[ref eval]", json.dumps(row), flush=True)
+        results.append(row)
+    out = {
+        "side": "reference (PyTorch, CPU)",
+        "config": {**CFG, "crop_size": cli.size, "iters": cli.iters},
+        "sec_per_iter": round(float(np.mean(times)), 3),
+        "trend": results,
+    }
+    with open(os.path.join(cli.out, "ref_results.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+# --------------------------------------------------------------------------- #
+# this framework's side
+# --------------------------------------------------------------------------- #
+def run_tpu(cli):
+    os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_jax_cache")
+    import jax
+    import jax.numpy as jnp
+
+    from masterthesis_tpu.arguments import default_train_args
+    from masterthesis_tpu.models import AdaINModel
+
+    ckpt_dir = os.path.join(cli.out, "tpu_ckpt")
+    os.makedirs(ckpt_dir, exist_ok=True)
+    targs = default_train_args(
+        dataroot=os.path.join(cli.out, "data"),
+        model=AdaINModel,
+        crop_size=cli.size, load_size=cli.size + 16,
+        use_dis_content=False, reparam=True, concat=False,
+        compute_dtype="bfloat16",
+        n_iters=cli.iters, max_iter=cli.iters,
+        mode="train", logdir=None, checkpoint_dir=ckpt_dir,
+        **{k: v for k, v in CFG.items() if k not in ("input_dim",)},
+    )
+    model = AdaINModel(targs)
+    state = model.initialize()
+    feed_args = types.SimpleNamespace(
+        dataroot=os.path.join(cli.out, "data"), mode="train",
+        load_size=cli.size + 16, crop_size=cli.size, no_flip=False,
+        batch_size=cli.batch_size, num_domains=4, select_domains=None,
+    )
+    feed = data_feed(feed_args, seed=cli.seed)
+    rng = jax.random.PRNGKey(cli.seed)
+    times = []
+    ckpts = {}
+    for it in range(1, cli.iters + 1):
+        batch = next(feed)
+        rng, k = jax.random.split(rng)
+        t0 = time.perf_counter()
+        state, logs = model.optimize_parameters(state, batch, it, k)
+        if it % 50 == 0:
+            keep = {k2: round(float(logs[k2]), 3)
+                    for k2 in ("g_adv", "g_cls", "l1_cc_rec") if k2 in logs}
+            times.append(time.perf_counter() - t0)
+            print(f"[tpu] iter {it} {keep}", flush=True)
+        if it % cli.ckpt_every == 0 or it == cli.iters:
+            ckpts[it] = jax.tree.map(np.asarray, dict(state.params))
+
+    fwd = model._forward_random_jit
+    results = []
+    for it, params in sorted(ckpts.items()):
+        def translate(imgs, z, trg, params=params):
+            return fwd(params, jnp.asarray(imgs), jnp.asarray(z), jnp.asarray(trg))
+
+        fids = eval_translator(
+            translate, os.path.join(cli.out, "data"), cli.size + 16, cli.size
+        )
+        row = {"iter": it, **{f"fid_{k}": round(v, 3) for k, v in fids.items()}}
+        print("[tpu eval]", json.dumps(row), flush=True)
+        results.append(row)
+    out = {
+        "side": "masterthesis_tpu (JAX)",
+        "config": {**CFG, "crop_size": cli.size, "iters": cli.iters},
+        "trend": results,
+    }
+    with open(os.path.join(cli.out, "tpu_results.json"), "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps(out))
+
+
+def run_report(cli):
+    sides = {}
+    for name in ("ref", "tpu"):
+        path = os.path.join(cli.out, f"{name}_results.json")
+        if os.path.exists(path):
+            with open(path) as f:
+                sides[name] = json.load(f)
+    report = {"headtohead": sides}
+    os.makedirs("benchmarks", exist_ok=True)
+    with open("benchmarks/headtohead_r3.json", "w") as f:
+        json.dump(report, f, indent=1)
+    print(json.dumps(report, indent=1))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--side", choices=["ref", "tpu", "report"], required=True)
+    ap.add_argument("--iters", type=int, default=1000)
+    ap.add_argument("--size", type=int, default=96)
+    ap.add_argument("--batch_size", type=int, default=2)
+    ap.add_argument("--ckpt_every", type=int, default=250)
+    ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--out", type=str, default="/tmp/headtohead")
+    cli = ap.parse_args()
+    cli.batch_size = CFG["batch_size"]
+
+    dataroot = os.path.join(cli.out, "data")
+    if cli.side != "report" and not os.path.isdir(dataroot):
+        print("generating synthetic 4-domain dataset ...")
+        make_dataset(dataroot, size=cli.size + 32)
+
+    {"ref": run_ref, "tpu": run_tpu, "report": run_report}[cli.side](cli)
+
+
+if __name__ == "__main__":
+    main()

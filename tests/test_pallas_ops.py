@@ -96,3 +96,32 @@ def test_moments_custom_vjp_matches_autodiff():
     g1 = jax.grad(loss_custom)(x)
     g2 = jax.grad(loss_ref)(x)
     np.testing.assert_allclose(np.asarray(g1), np.asarray(g2), atol=1e-5)
+
+
+def test_pallas_moments_near_constant_input():
+    """The one-pass E[x^2]-mean^2 corner: near-constant inputs at
+    bf16-realistic magnitudes must stay finite and close to the centered
+    two-pass result once passed through rsqrt(var + eps) — the quantity the
+    norm layers actually consume (see DESIGN.md "Performance decisions")."""
+    from masterthesis_tpu.ops.pallas.moments import pallas_moments
+
+    eps = 1e-5
+    key = jax.random.PRNGKey(6)
+    for base, jitter in [(3.0, 1e-3), (-7.5, 1e-4), (0.25, 0.0), (120.0, 1e-2)]:
+        x32 = base + jitter * jax.random.normal(key, (2, 32, 32, 128), jnp.float32)
+        x = x32.astype(jnp.bfloat16)
+        got = pallas_moments(x, (1, 2), interpret=True)
+        assert got is not None
+        mean, var = got
+        assert np.all(np.isfinite(np.asarray(mean)))
+        assert np.all(np.asarray(var) >= 0.0), "clamp must keep var >= 0"
+        ref_mean, ref_var = _ref_moments(x, (1, 2))
+        rstd = np.asarray(jax.lax.rsqrt(var + eps))
+        ref_rstd = np.asarray(jax.lax.rsqrt(ref_var + eps))
+        assert np.all(np.isfinite(rstd))
+        np.testing.assert_allclose(
+            np.asarray(mean), np.asarray(ref_mean), rtol=2e-2, atol=2e-2
+        )
+        # rsqrt(var+eps) agreement: eps floors the denominator, so even full
+        # cancellation in the one-pass form moves rstd by a bounded factor
+        np.testing.assert_allclose(rstd, ref_rstd, rtol=0.15)
