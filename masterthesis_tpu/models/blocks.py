@@ -139,6 +139,17 @@ def make_norm(name: Optional[str]):
     raise NotImplementedError(f"norm type '{name}' is not supported at the moment")
 
 
+def apply_pending(x, pending, dtype):
+    """Apply a deferred per-(sample, channel) norm affine (+activation) from
+    a previous serving block inline (the unfused fallback for consumers with
+    no kernel prologue)."""
+    y = x.astype(jnp.float32) * pending["scale"][:, None, None, :]
+    y = y + pending["shift"][:, None, None, :]
+    if pending.get("relu"):
+        y = jnp.maximum(y, float(pending.get("alpha", 0.0)) * y)
+    return y.astype(dtype)
+
+
 class Conv2d(nn.Module):
     """Plain conv with optional spectral norm, torch-style int padding.
 
@@ -162,25 +173,42 @@ class Conv2d(nn.Module):
     init_type: Optional[str] = None
     init_gain: float = 0.02
     padding_type: Optional[str] = None
+    # int8 serving: also return the kernel's in-kernel (sum, sumsq) spatial
+    # stats as (y, sum, sumsq) so the parent block's norm can skip its
+    # full-output reduction pass (see ConvBlock)
+    serving_stats: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     def _int8_eligible(self, x) -> bool:
         # shape-level pallas eligibility is decided inside int8_conv3x3
         # (small-channel convs fall back to the exact jnp int8 path).
-        # stride-2 stays bf16: measured on v5e (r3 device profile), XLA's
-        # int8 down-conv path costs ~27 ms across quantize / s32-materialize
-        # / dequant+stats fusions vs ~7 ms for the bf16 conv+stats fusions —
-        # the s32[B,128,128,128] intermediate alone is a 2.1 GB round trip.
-        return (
-            self.kernel_size == 3
-            and self.stride == 1
-            and self.padding == 1
-            and not self.sn
-        )
+        if self.kernel_size != 3 or self.padding != 1 or self.sn:
+            return False
+        if self.stride == 1:
+            return True
+        if self.stride == 2:
+            # stride-2 int8 is only worth it through the Pallas column-packed
+            # kernel (ops/pallas/conv_int8.py pallas_int8_downconv). XLA's own
+            # int8 down-conv path measured ~27 ms on v5e across quantize /
+            # s32-materialize / dequant+stats fusions vs ~7 ms for the bf16
+            # conv+stats fusions (the s32[B,128,128,128] intermediate alone is
+            # a 2.1 GB round trip) — so off-kernel shapes stay bf16 on TPU.
+            # Off-TPU the exact jnp int8 fallback is fine (tests/mesh dryrun).
+            import jax as _jax
+
+            from masterthesis_tpu.ops.pallas.conv_int8 import downconv_eligible
+
+            return _jax.default_backend() != "tpu" or downconv_eligible(
+                x, self.features
+            )
+        return False
 
     @nn.compact
-    def __call__(self, x):
+    def __call__(self, x, pending=None):
+        """``pending``: deferred norm+act from the previous serving block —
+        ``{"scale": (B, C), "shift": (B, C), "relu": bool, "alpha": float}``
+        applied as the int8 kernel's fused prologue (elsewhere inline)."""
         in_features = x.shape[-1]
         k = self.kernel_size
         kernel = self.param(
@@ -199,10 +227,11 @@ class Conv2d(nn.Module):
         # calibration capture (not during init, where ALL collections are
         # mutable and degenerate zero-size probe shapes can appear)
         if self.is_mutable_collection("calib") and not self.is_initializing() and x.size:
+            amax_src = apply_pending(x, pending, self.dtype) if pending else x
             self.sow(
                 "calib",
                 "amax_in",
-                jnp.max(jnp.abs(x)).astype(jnp.float32),
+                jnp.max(jnp.abs(amax_src)).astype(jnp.float32),
                 init_fn=lambda: jnp.zeros((), jnp.float32),
                 reduce_fn=jnp.maximum,
             )
@@ -210,11 +239,22 @@ class Conv2d(nn.Module):
             from masterthesis_tpu.ops.pallas.conv_int8 import int8_conv3x3
 
             amax = self.variable("quant", "amax_in", lambda: None).value
+            pk = {}
+            if pending is not None:
+                pk = dict(
+                    prologue_scale=pending["scale"],
+                    prologue_shift=pending["shift"],
+                    prologue_relu=bool(pending.get("relu")),
+                    prologue_alpha=float(pending.get("alpha", 0.0)),
+                )
             return int8_conv3x3(
                 x, kernel, amax, bias,
                 padding_type=self.padding_type or "zero", out_dtype=self.dtype,
-                stride=self.stride,
+                stride=self.stride, with_stats=self.serving_stats, **pk,
             )
+        if pending is not None:
+            # deferred affine not consumed by an int8 kernel: apply inline
+            x = apply_pending(x, pending, self.dtype)
         pad = self.padding
         if self.padding_type is not None:
             x = pad2d(x, pad, self.padding_type)
@@ -436,7 +476,14 @@ class Dense(nn.Module):
 
 
 class ConvBlock(nn.Module):
-    """pad -> (SN)conv -> norm -> activation (reference blocks.py:10-46)."""
+    """pad -> (SN)conv -> norm -> activation (reference blocks.py:10-46).
+
+    int8 serving chain (``defer_norm``, set by ContentEncoder when serving):
+    the conv requests in-kernel (sum, sumsq) stats, the parameter-free
+    instance norm is folded into a per-(sample, channel) affine, and instead
+    of applying it here the block returns ``(y, pending)`` so the NEXT conv
+    fuses it into its kernel prologue — like the decoder tail's LayerNorm
+    deferral (UpsampleBlock)."""
 
     features: int
     kernel_size: int
@@ -449,12 +496,13 @@ class ConvBlock(nn.Module):
     sn: bool = False
     init_type: Optional[str] = None
     init_gain: float = 0.02
+    defer_norm: bool = False
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
     @nn.compact
-    def __call__(self, x):
-        y = Conv2d(
+    def __call__(self, x, pending=None):
+        out = Conv2d(
             self.features,
             self.kernel_size,
             self.stride,
@@ -464,12 +512,44 @@ class ConvBlock(nn.Module):
             init_type=self.init_type,
             init_gain=self.init_gain,
             padding_type=self.padding_type,
+            serving_stats=self.norm == "instance",
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="conv",
-        )(x)
-        norm_cls = make_norm(self.norm)
-        if norm_cls is not None:
+        )(x, pending=pending)
+        stats = None
+        if isinstance(out, tuple):
+            y, s1, s2 = out
+            n = float(y.shape[1] * y.shape[2])
+            stats = (s1 / n, jnp.maximum(s2 / n - jnp.square(s1 / n), 0.0))
+        else:
+            y = out
+        deferable = self.defer_norm and self.norm == "instance" and (
+            self.activation in (None, "relu", "lrelu")
+        )
+        if deferable and stats is None:
+            # bf16 conv (e.g. the 7x7 stem) feeding a fused consumer: compute
+            # the per-(sample, channel) moments here (XLA fuses the reduction
+            # into the conv epilogue) and defer the apply
+            from masterthesis_tpu.ops.norms import _moments
+
+            mean, var = _moments(y, axes=(1, 2))
+            stats = (mean.reshape(y.shape[0], -1), var.reshape(y.shape[0], -1))
+        if stats is not None:
+            mean, var = stats
+            eps = 1e-5
+            a = jax.lax.rsqrt(var + eps)
+            b = -mean * a
+            if deferable:
+                return y, {
+                    "scale": a,
+                    "shift": b,
+                    "relu": self.activation is not None,
+                    "alpha": 0.01 if self.activation == "lrelu" else 0.0,
+                }
+            y = apply_pending(y, {"scale": a, "shift": b}, self.dtype)
+        elif self.norm is not None:
+            norm_cls = make_norm(self.norm)
             y = norm_cls(name="norm")(y)
         act = get_activation(self.activation)
         if act is not None:

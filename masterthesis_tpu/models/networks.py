@@ -25,6 +25,7 @@ from masterthesis_tpu.models.blocks import (
     AdaINResnetBlock,
     ConvBlock,
     Conv2d,
+    apply_pending,
     DecResnetBlock,
     Dense,
     DownResnetBlock,
@@ -70,19 +71,36 @@ class ContentEncoder(nn.Module):
         return self.dim * (2**self.num_downs)
 
     @nn.compact
-    def __call__(self, x, deterministic: bool = True):
+    def __call__(self, x, deterministic: bool = True, serving: bool = False):
+        """``serving``: int8 serving chain (set by TranslationModel when the
+        quant collection is active): the stem and down blocks defer their
+        instance-norm + activation into the next conv's fused kernel
+        prologue, and the down convs' norm stats come from inside the Pallas
+        kernel — removing every standalone norm/activation HBM pass between
+        the stem and the residual blocks. Inert during training: the flags
+        only change op placement, and serving is never set on gradient
+        paths (translation.py _apply)."""
         common = dict(dtype=self.dtype, param_dtype=self.param_dtype)
+        defer = bool(serving)
         d = self.dim
-        h = ConvBlock(
+        pending = None
+        out = ConvBlock(
             d, 7, 1, 3, use_bias=self.use_bias, norm=self.norm, activation="lrelu",
-            padding_type=self.padding_type, name="stem", **common,
+            padding_type=self.padding_type, defer_norm=defer, name="stem", **common,
         )(x)
+        h, pending = out if isinstance(out, tuple) else (out, None)
         for i in range(self.num_downs):
             d *= 2
-            h = ConvBlock(
+            out = ConvBlock(
                 d, 3, 2, 1, use_bias=self.use_bias, norm=self.norm, activation="relu",
-                padding_type=self.padding_type, name=f"down{i}", **common,
-            )(h)
+                padding_type=self.padding_type, defer_norm=defer,
+                name=f"down{i}", **common,
+            )(h, pending=pending)
+            h, pending = out if isinstance(out, tuple) else (out, None)
+        if pending is not None:
+            # no fused consumer yet for the resblock kernel's first conv:
+            # apply the last down block's deferred norm inline
+            h = apply_pending(h, pending, h.dtype)
         for i in range(self.n_blocks):
             h = ResnetBlock(d, norm=self.norm, activation="relu", name=f"res{i}", **common)(
                 h, deterministic=deterministic

@@ -121,9 +121,12 @@ class TranslationModel(Model):
                 return net.apply({"params": p}, x, deterministic=False, rngs=rr)
 
             return jax.checkpoint(run)(params["content_encoder"], img, rng)
+        serving = bool(quant) and bool(
+            (getattr(self, "quant_cols", None) or {}).get("content_encoder")
+        )
         return self._apply(
             "content_encoder", params, extra, img, deterministic=not train,
-            rngs=rngs, quant=quant,
+            rngs=rngs, quant=quant, serving=serving,
         )
 
     def encode_style(self, params, img, c, rng=None, train=False, sample=True):

@@ -91,7 +91,7 @@ def jnp_int8_conv(
 # --------------------------------------------------------------------------- #
 def _make_kernel(h: int, w: int, c_out: int, padding_type: str, out_dtype,
                  row_chunk: int, prologue: bool, prologue_relu: bool,
-                 with_stats: bool):
+                 with_stats: bool, prologue_alpha: float = 0.0):
     from jax.experimental import pallas as pl
 
     def kernel(*refs):
@@ -134,7 +134,8 @@ def _make_kernel(h: int, w: int, c_out: int, padding_type: str, out_dtype,
                 # full-HBM elementwise pass between the two convs.
                 chunk = chunk * pa[None, None, :] + pb[None, None, :]
                 if prologue_relu:
-                    chunk = jnp.maximum(chunk, 0.0)
+                    # alpha=0 -> relu; alpha>0 -> leaky relu (encoder lrelu)
+                    chunk = jnp.maximum(chunk, prologue_alpha * chunk)
             q = jnp.clip(jnp.round(chunk * inv_sx), -INT8_MAX, INT8_MAX)
             padded[pl.ds(1 + r, row_chunk), 1 : w + 1, :] = q.astype(jnp.int8)
         if padding_type == "reflect":
@@ -195,6 +196,7 @@ def pallas_int8_conv3x3(
     prologue_scale: Optional[jnp.ndarray] = None,
     prologue_shift: Optional[jnp.ndarray] = None,
     prologue_relu: bool = False,
+    prologue_alpha: float = 0.0,
     with_stats: bool = False,
 ):
     """(B,H,W,C) float x (3,3,C,Co) int8 -> (B,H,W,Co) ``out_dtype``.
@@ -224,7 +226,7 @@ def pallas_int8_conv3x3(
     prologue = prologue_scale is not None
     kernel = _make_kernel(
         h, w, c_out, padding_type or "zero", out_dtype, row_chunk,
-        prologue, prologue_relu, with_stats,
+        prologue, prologue_relu, with_stats, prologue_alpha,
     )
     in_specs = [
         pl.BlockSpec((1, h, w, c), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -309,6 +311,7 @@ def int8_conv3x3(
     prologue_scale: Optional[jnp.ndarray] = None,
     prologue_shift: Optional[jnp.ndarray] = None,
     prologue_relu: bool = False,
+    prologue_alpha: float = 0.0,
     with_stats: bool = False,
 ):
     """Quantize-conv-dequantize in one call (the ConvBlock serving path).
@@ -338,13 +341,22 @@ def int8_conv3x3(
             x, w_q, scale, bias32, padding_type, out_dtype,
             interpret=bool(interpret), inv_act_scale=inv_sx,
             prologue_scale=prologue_scale, prologue_shift=prologue_shift,
-            prologue_relu=prologue_relu, with_stats=with_stats,
+            prologue_relu=prologue_relu, prologue_alpha=prologue_alpha,
+            with_stats=with_stats,
+        )
+    if stride == 2 and use_pallas and downconv_eligible(x, w.shape[-1]):
+        return pallas_int8_downconv(
+            x, downconv_weights(w_q), scale, bias32, padding_type, out_dtype,
+            interpret=bool(interpret), inv_act_scale=inv_sx,
+            prologue_scale=prologue_scale, prologue_shift=prologue_shift,
+            prologue_relu=prologue_relu, prologue_alpha=prologue_alpha,
+            with_stats=with_stats,
         )
     if prologue_scale is not None:
         x = x.astype(jnp.float32) * prologue_scale[:, None, None, :]
         x = x + prologue_shift[:, None, None, :]
         if prologue_relu:
-            x = jnp.maximum(x, 0.0)
+            x = jnp.maximum(x, prologue_alpha * x)
     x_q, _ = quantize_act(x, amax)
     acc = jnp_int8_conv(x_q, w_q, padding_type, stride=stride)
     y = acc.astype(jnp.float32) * scale[None, None, None, :]
@@ -981,3 +993,243 @@ def int8_resblock(
     b2 = beta - mean2 * a2
     y = h2.astype(jnp.float32) * a2[:, None, None, :] + b2[:, None, None, :]
     return x + y.astype(x.dtype)
+
+
+# --------------------------------------------------------------------------- #
+# int8 stride-2 down conv (k=3, s=2, p=1) — the encoder down path
+# --------------------------------------------------------------------------- #
+def downconv_weights(w_q: jnp.ndarray) -> jnp.ndarray:
+    """(3,3,C,Co) int8 kernel -> (6, 2C, Co) column-packed tap groups.
+
+    The stride-2 conv runs on a column-packed input layout (``(B,H,W,C)``
+    viewed as ``(B,H,W/2,2C)`` — a free, layout-preserving reshape): packed
+    entry ``m`` holds cols ``(2m, 2m+1)``. Output col ``j`` reads cols
+    ``2j-1, 2j, 2j+1`` = entry ``j`` (odd slot) + entry ``j+1`` (both slots).
+    Per row tap ``a`` that is two dense matmuls:
+      - left group  ``[zeros; w[a,0]]``  applied at entry offset 0,
+      - right group ``[w[a,1]; w[a,2]]`` applied at entry offset 1.
+    12C MACs per output pixel vs the dense form's 9C — a 33% premium the
+    int8 MXU rate more than covers (vs XLA's batch-minor bf16 down convs).
+    """
+    c, co = w_q.shape[2], w_q.shape[3]
+    zeros = jnp.zeros((c, co), w_q.dtype)
+    groups = []
+    for a in range(3):
+        groups.append(jnp.concatenate([zeros, w_q[a, 0]], axis=0))
+        groups.append(jnp.concatenate([w_q[a, 1], w_q[a, 2]], axis=0))
+    return jnp.stack(groups)
+
+
+def _make_down_kernel(h: int, wo: int, c2: int, c_out: int, padding_type: str,
+                      out_dtype, row_chunk: int, pro_chunk: int,
+                      prologue: bool, prologue_relu: bool, with_stats: bool,
+                      prologue_alpha: float = 0.0):
+    from jax.experimental import pallas as pl
+
+    ho = h // 2
+
+    def kernel(*refs):
+        if prologue and with_stats:
+            (x_ref, w_ref, scale_ref, bias_ref, inv_sx_ref, pa_ref, pb_ref,
+             o_ref, sum_ref, sq_ref, ev, od) = refs
+        elif prologue:
+            (x_ref, w_ref, scale_ref, bias_ref, inv_sx_ref, pa_ref, pb_ref,
+             o_ref, ev, od) = refs
+        elif with_stats:
+            (x_ref, w_ref, scale_ref, bias_ref, inv_sx_ref,
+             o_ref, sum_ref, sq_ref, ev, od) = refs
+        else:
+            x_ref, w_ref, scale_ref, bias_ref, inv_sx_ref, o_ref, ev, od = refs
+        _body(x_ref, w_ref, scale_ref, bias_ref, inv_sx_ref,
+              pa_ref[0, 0] if prologue else None,
+              pb_ref[0, 0] if prologue else None,
+              o_ref,
+              sum_ref if with_stats else None,
+              sq_ref if with_stats else None,
+              ev, od)
+
+    def _body(x_ref, w_ref, scale_ref, bias_ref, inv_sx_ref, pa, pb,
+              o_ref, sum_ref, sq_ref, ev, od):
+        # ---- quantize + split into row-parity planes (col packing is free:
+        # x arrives as (1, H, W/2, 2C)). Optional fused prologue = previous
+        # layer's per-(sample, channel) norm affine (+relu), pa/pb already
+        # 2C-tiled by the caller. Plane layout (+1 halos):
+        #   ev[i, m]: input row 2i,   packed col entry m-1  (m=0 is the halo)
+        #   od[k, m]: input row 2k-1, same col layout (k=0 is the row halo)
+        inv_sx = inv_sx_ref[0, 0]
+        for r in range(0, h, 2 * pro_chunk):
+            chunk = x_ref[0, pl.ds(r, 2 * pro_chunk), :, :].astype(jnp.float32)
+            if pa is not None:
+                chunk = chunk * pa[None, None, :] + pb[None, None, :]
+                if prologue_relu:
+                    # alpha=0 -> relu; alpha>0 -> leaky relu (encoder lrelu)
+                    chunk = jnp.maximum(chunk, prologue_alpha * chunk)
+            q = jnp.clip(jnp.round(chunk * inv_sx), -INT8_MAX, INT8_MAX)
+            q = q.astype(jnp.int8).reshape(pro_chunk, 2, wo, c2)
+            ev[pl.ds(r // 2, pro_chunk), pl.ds(1, wo), :] = q[:, 0]
+            od[pl.ds(r // 2 + 1, pro_chunk), pl.ds(1, wo), :] = q[:, 1]
+        if padding_type == "reflect":
+            od[0, :, :] = od[1, :, :]            # row -1 = row 1
+            ev[:, 0, :] = ev[:, 1, :]            # col halo: odd slot = col 1
+            od[:, 0, :] = od[:, 1, :]
+        else:  # zero
+            od[0, :, :] = jnp.zeros((wo + 1, c2), jnp.int8)
+            ev[:, 0, :] = jnp.zeros((ho, c2), jnp.int8)
+            od[pl.ds(1, ho), 0, :] = jnp.zeros((ho, c2), jnp.int8)
+
+        # ---- 6-tap MXU pass: row taps (a=0,1,2) -> od[i], ev[i], od[i+1];
+        # col groups at packed entry offsets 0 (left) and 1 (right) ----
+        scale = scale_ref[0]
+        bias = bias_ref[0]
+        st_sum = st_sq = None
+        for r in range(0, ho, row_chunk):
+            s = None
+            taps = (
+                (od, r, 0), (od, r, 1),       # a=0: row 2i-1
+                (ev, r, 0), (ev, r, 1),       # a=1: row 2i
+                (od, r + 1, 4), (od, r + 1, 5),  # a=2: row 2i+1
+            )
+            for gi, (plane, r0, _) in enumerate(taps):
+                col = gi % 2
+                t = plane[pl.ds(r0, row_chunk), pl.ds(col, wo), :]
+                widx = (gi // 2) * 2 + col
+                d = jax.lax.dot_general(
+                    t, w_ref[widx], (((2,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                )
+                s = d if s is None else s + d
+            y = s.astype(jnp.float32) * scale[None, None, :] + bias[None, None, :]
+            if sum_ref is not None:
+                ps = jnp.sum(y, axis=(0, 1))[None, :]
+                pq = jnp.sum(y * y, axis=(0, 1))[None, :]
+                st_sum = ps if st_sum is None else st_sum + ps
+                st_sq = pq if st_sq is None else st_sq + pq
+            o_ref[0, pl.ds(r, row_chunk), :, :] = y.astype(out_dtype)
+        if sum_ref is not None:
+            sum_ref[...] = st_sum[None]
+            sq_ref[...] = st_sq[None]
+
+    return kernel
+
+
+def pallas_int8_downconv(
+    x: jnp.ndarray,
+    w6_q: jnp.ndarray,
+    scale: jnp.ndarray,
+    bias: Optional[jnp.ndarray] = None,
+    padding_type: Optional[str] = "reflect",
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    inv_act_scale=None,
+    prologue_scale: Optional[jnp.ndarray] = None,
+    prologue_shift: Optional[jnp.ndarray] = None,
+    prologue_relu: bool = False,
+    prologue_alpha: float = 0.0,
+    with_stats: bool = False,
+):
+    """(B,H,W,C) float x (6,2C,Co) int8 tap groups -> (B,H/2,W/2,Co).
+
+    The torch/flax ``Conv(k=3, s=2, p=1)`` of the encoder down path (and the
+    reference DownResnetBlock) via the column-packed formulation
+    (``downconv_weights``). Quantize, the previous layer's norm affine, and
+    the output (sum, sumsq) stats all run in-kernel like the stride-1 conv.
+    ``prologue_scale/shift`` are per-(sample, ORIGINAL channel) (B, C) — the
+    caller does NOT pre-tile; tiling to the packed 2C lanes happens here.
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h, w, c = x.shape
+    c_out = w6_q.shape[-1]
+    c2 = 2 * c
+    wo = w // 2
+    ho = h // 2
+    if bias is None:
+        bias = jnp.zeros((c_out,), jnp.float32)
+    if inv_act_scale is None:
+        inv_act_scale = jnp.ones((), jnp.float32)
+    # free, layout-preserving view: packed cols in lanes
+    xp = x.reshape(b, h, wo, c2)
+    row_chunk = next(rc for rc in (32, 16, 8, 4, 2, 1) if ho % rc == 0)
+    pro_chunk = next(rc for rc in (16, 8, 4, 2, 1) if h % (2 * rc) == 0)
+    prologue = prologue_scale is not None
+    kernel = _make_down_kernel(
+        h, wo, c2, c_out, padding_type or "zero", out_dtype, row_chunk,
+        pro_chunk, prologue, prologue_relu, with_stats, prologue_alpha,
+    )
+    in_specs = [
+        pl.BlockSpec((1, h, wo, c2), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((6, c2, c_out), lambda i: (0, 0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, c_out), lambda i: (0, 0), memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1), lambda i: (0, 0), memory_space=pltpu.SMEM),
+    ]
+    operands = [
+        xp,
+        w6_q,
+        scale.reshape(1, c_out).astype(jnp.float32),
+        bias.reshape(1, c_out).astype(jnp.float32),
+        jnp.reshape(jnp.asarray(inv_act_scale, jnp.float32), (1, 1)),
+    ]
+    if prologue:
+        pa2 = jnp.tile(prologue_scale.astype(jnp.float32), (1, 2))
+        pb2 = jnp.tile(prologue_shift.astype(jnp.float32), (1, 2))
+        in_specs += [
+            pl.BlockSpec((1, 1, c2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c2), lambda i: (i, 0, 0), memory_space=pltpu.VMEM),
+        ]
+        operands += [pa2.reshape(b, 1, c2), pb2.reshape(b, 1, c2)]
+    out_specs = pl.BlockSpec(
+        (1, ho, wo, c_out), lambda i: (i, 0, 0, 0), memory_space=pltpu.VMEM
+    )
+    out_shape = jax.ShapeDtypeStruct((b, ho, wo, c_out), out_dtype)
+    if with_stats:
+        stat_spec = pl.BlockSpec((1, 1, c_out), lambda i: (i, 0, 0), memory_space=pltpu.VMEM)
+        stat_shape = jax.ShapeDtypeStruct((b, 1, c_out), jnp.float32)
+        out_specs = (out_specs, stat_spec, stat_spec)
+        out_shape = (out_shape, stat_shape, stat_shape)
+    result = pl.pallas_call(
+        kernel,
+        grid=(b,),
+        in_specs=in_specs,
+        out_specs=out_specs,
+        out_shape=out_shape,
+        scratch_shapes=[
+            pltpu.VMEM((ho, wo + 1, c2), jnp.int8),
+            pltpu.VMEM((ho + 1, wo + 1, c2), jnp.int8),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * ho * wo * 6 * c2 * c_out,
+            bytes_accessed=x.size * x.dtype.itemsize + w6_q.size
+            + b * ho * wo * c_out * 2,
+            transcendentals=0,
+        ),
+        # the whole-image in/out blocks exceed the 16 MB scoped default at
+        # the 256px down1 shape; v5e has 128 MB physical VMEM per core
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=48 * 1024 * 1024),
+        interpret=interpret,
+    )(*operands)
+    if with_stats:
+        y, s1, s2 = result
+        return y, s1.reshape(b, c_out), s2.reshape(b, c_out)
+    return result
+
+
+def downconv_eligible(x: jnp.ndarray, features: int) -> bool:
+    """Kernel eligibility for the (3, s=2, p=1) down-conv serving path."""
+    if x.ndim != 4:
+        return False
+    b, h, w, c = x.shape
+    return (
+        (2 * c) % 128 == 0
+        and features % 128 == 0
+        and h % 2 == 0
+        and w % 2 == 0
+        and h >= 8
+        and w >= 8
+        and (h // 2 + 1) * (w // 2 + 1) * 2 * c * 2 <= 9_000_000  # planes
+        and 32 * (w // 2) * features * 4 <= 4_500_000  # int32 acc row chunk
+        # double-buffered in/out blocks + planes within the raised VMEM limit
+        and 2 * (h * w * c * 2 + (h // 2) * (w // 2) * features * 2)
+        + (h + 1) * (w // 2 + 1) * 2 * c <= 40_000_000
+    )

@@ -277,7 +277,7 @@ def run_tpu(cli):
         model=AdaINModel,
         crop_size=cli.size, load_size=cli.size + 16,
         use_dis_content=False, reparam=True, concat=False,
-        compute_dtype="bfloat16",
+        compute_dtype=cli.dtype,
         n_iters=cli.iters, max_iter=cli.iters,
         mode="train", logdir=None, checkpoint_dir=ckpt_dir,
         **{k: v for k, v in CFG.items() if k not in ("input_dim",)},
@@ -320,21 +320,29 @@ def run_tpu(cli):
         results.append(row)
     out = {
         "side": "masterthesis_tpu (JAX)",
-        "config": {**CFG, "crop_size": cli.size, "iters": cli.iters},
+        "config": {**CFG, "crop_size": cli.size, "iters": cli.iters,
+                   "compute_dtype": cli.dtype, "seed": cli.seed},
         "trend": results,
     }
-    with open(os.path.join(cli.out, "tpu_results.json"), "w") as f:
+    suffix = f"_{cli.tag}" if cli.tag else ""
+    with open(os.path.join(cli.out, f"tpu_results{suffix}.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
 
 def run_report(cli):
+    import glob as _glob
+
     sides = {}
-    for name in ("ref", "tpu"):
-        path = os.path.join(cli.out, f"{name}_results.json")
-        if os.path.exists(path):
-            with open(path) as f:
-                sides[name] = json.load(f)
+    ref_path = os.path.join(cli.out, "ref_results.json")
+    if os.path.exists(ref_path):
+        with open(ref_path) as f:
+            sides["ref"] = json.load(f)
+    for path in sorted(_glob.glob(os.path.join(cli.out, "tpu_results*.json"))):
+        key = os.path.basename(path)[: -len(".json")]
+        key = "tpu" if key == "tpu_results" else key.replace("tpu_results_", "tpu_")
+        with open(path) as f:
+            sides[key] = json.load(f)
     report = {"headtohead": sides}
     os.makedirs("benchmarks", exist_ok=True)
     with open("benchmarks/headtohead_r3.json", "w") as f:
@@ -351,6 +359,10 @@ def main():
     ap.add_argument("--ckpt_every", type=int, default=250)
     ap.add_argument("--seed", type=int, default=0)
     ap.add_argument("--out", type=str, default="/tmp/headtohead")
+    ap.add_argument("--dtype", type=str, default="bfloat16",
+                    help="tpu-side compute dtype (the ref side is f32 torch)")
+    ap.add_argument("--tag", type=str, default="",
+                    help="suffix for the tpu-side results file")
     cli = ap.parse_args()
     cli.batch_size = CFG["batch_size"]
 

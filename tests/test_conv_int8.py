@@ -318,3 +318,76 @@ def test_deconv_kernel_row_blocks():
     b = pallas_int8_deconv(x_q, w4, scale4, out_dtype=jnp.float32,
                            interpret=True, row_blocks=2)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+# --------------------------------------------------------------------------- #
+# int8 stride-2 down conv (column-packed kernel)
+# --------------------------------------------------------------------------- #
+@pytest.mark.parametrize("padding_type", ["reflect", "zero"])
+def test_downconv_kernel_exact_integer_match(padding_type):
+    from masterthesis_tpu.ops.pallas.conv_int8 import (
+        downconv_weights, jnp_int8_conv, pallas_int8_downconv,
+    )
+
+    r = np.random.default_rng(21)
+    x_q = jnp.asarray(r.integers(-127, 128, (2, 8, 12, 64)).astype(np.int8))
+    w_q = jnp.asarray(r.integers(-127, 128, (3, 3, 64, 128)).astype(np.int8))
+    got = pallas_int8_downconv(
+        x_q, downconv_weights(w_q), jnp.ones((128,), jnp.float32),
+        padding_type=padding_type, out_dtype=jnp.float32, interpret=True,
+    )
+    want = jnp_int8_conv(x_q, w_q, padding_type, stride=2).astype(jnp.float32)
+    np.testing.assert_array_equal(np.asarray(got), np.asarray(want))
+
+
+def test_downconv_kernel_matches_jnp_with_stats_prologue():
+    """In-kernel quantize + prologue affine/relu + stats == the unfused jnp
+    path, bit-for-bit on the quantized values."""
+    from masterthesis_tpu.ops.pallas.conv_int8 import int8_conv3x3
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(23), 3)
+    x = jax.random.normal(k1, (2, 8, 8, 64)) * 2.0
+    w = jax.random.normal(k2, (3, 3, 64, 128)) * 0.3
+    pa = 1.0 + 0.1 * jax.random.normal(k3, (2, 64))
+    pb = 0.1 * jax.random.normal(k3, (2, 64))
+    bias = jnp.linspace(-0.2, 0.2, 128)
+    amax = jnp.float32(2.5)
+    y_k, s1_k, s2_k = int8_conv3x3(
+        x, w, amax, bias=bias, padding_type="reflect", stride=2,
+        out_dtype=jnp.float32, interpret=True,
+        prologue_scale=pa, prologue_shift=pb, prologue_relu=True,
+        with_stats=True,
+    )
+    y_j, s1_j, s2_j = int8_conv3x3(
+        x, w, amax, bias=bias, padding_type="reflect", stride=2,
+        out_dtype=jnp.float32, interpret=False,
+        prologue_scale=pa, prologue_shift=pb, prologue_relu=True,
+        with_stats=True,
+    )
+    # quantized values are identical; the fused dequant+bias FMA may round
+    # differently from the unfused jnp expression by ~1 ulp
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_j), rtol=1e-6, atol=1e-5)
+    np.testing.assert_allclose(np.asarray(s1_k), np.asarray(s1_j), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2_k), np.asarray(s2_j), rtol=1e-5, atol=1e-4)
+
+
+def test_int8_downconv_approximates_float():
+    from masterthesis_tpu.ops.pallas.conv_int8 import int8_conv3x3
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(27))
+    x = jax.random.normal(k1, (2, 12, 12, 64)) * 1.5
+    w = jax.random.normal(k2, (3, 3, 64, 128)) * 0.2
+    got = int8_conv3x3(
+        x, w, jnp.max(jnp.abs(x)), padding_type="reflect", stride=2,
+        out_dtype=jnp.float32, interpret=True,
+    )
+    xp = jnp.pad(x, ((0, 0), (1, 1), (1, 1), (0, 0)), mode="reflect")
+    want = jax.lax.conv_general_dilated(
+        xp, w, (2, 2), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    )
+    err = np.abs(np.asarray(got) - np.asarray(want))
+    out_std = float(np.std(np.asarray(want)))
+    # 9*64-term accumulation: quantization noise ~1% of the output scale
+    assert err.max() < 0.08 * out_std, (err.max(), out_std)
+    assert err.mean() < 0.015 * out_std, (err.mean(), out_std)
