@@ -83,6 +83,11 @@ def main():
     ap.add_argument("--num_styles", type=int, default=2)
     ap.add_argument("--eval_only", action="store_true",
                     help="skip training; evaluate existing checkpoints")
+    ap.add_argument("--seed", type=int, default=0,
+                    help="training PRNG seed (run >=2 seeds for a noise floor)")
+    ap.add_argument("--model", choices=["AdaINModel", "BaseModel"],
+                    default="AdaINModel",
+                    help="which flagship model family to trend")
     args_cli = ap.parse_args()
 
     os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_jax_cache")
@@ -94,13 +99,15 @@ def main():
     from masterthesis_tpu.arguments import default_test_args, default_train_args
     from masterthesis_tpu.data.datasets import PairedDataset
     from masterthesis_tpu.evaluate import evaluate
-    from masterthesis_tpu.models import AdaINModel
+    from masterthesis_tpu.models import AdaINModel, BaseModel
     from masterthesis_tpu.train import Trainer
 
-    exp = os.path.join(args_cli.out, "exp")
+    model_cls = {"AdaINModel": AdaINModel, "BaseModel": BaseModel}[args_cli.model]
+    run_name = f"exp_{args_cli.model}_s{args_cli.seed}"
+    exp = os.path.join(args_cli.out, run_name)
     targs = default_train_args(
         dataroot=dataroot,
-        model=AdaINModel,
+        model=model_cls,
         dataset=PairedDataset,
         batch_size=args_cli.batch_size,
         num_domains=4,
@@ -119,7 +126,8 @@ def main():
         shuffle=True,
         logdir=None,
         exp_dir=args_cli.out,
-        name="exp",
+        name=run_name,
+        seed=args_cli.seed,
         checkpoint_dir=os.path.join(exp, "checkpoints"),
         display_dir=os.path.join(exp, "images"),
     )
@@ -138,7 +146,7 @@ def main():
     ):
         eargs = default_test_args(
             dataroot=dataroot,
-            model=AdaINModel,
+            model=model_cls,
             batch_size=1,
             num_domains=4,
             reparam=True,
@@ -156,7 +164,7 @@ def main():
             # honest weights-free self-relative trend metric
             fid_extractor="pixel",
         )
-        model = AdaINModel(eargs)
+        model = model_cls(eargs)
         state = model.initialize()
         res = evaluate(eargs, model, state, num_styles=args_cli.num_styles)
         mean_fid = float(np.mean([r["fid"] for r in res.values()]))
@@ -167,9 +175,10 @@ def main():
                               for k, r in res.items()}}
         rows.append(row)
         print(json.dumps(row))
-    with open(os.path.join(args_cli.out, "trend.json"), "w") as f:
+    trend_path = os.path.join(args_cli.out, f"trend_{run_name}.json")
+    with open(trend_path, "w") as f:
         json.dump(rows, f, indent=1)
-    print("wrote", os.path.join(args_cli.out, "trend.json"))
+    print("wrote", trend_path)
 
 
 if __name__ == "__main__":
