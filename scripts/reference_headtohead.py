@@ -278,12 +278,28 @@ def run_tpu(cli):
         crop_size=cli.size, load_size=cli.size + 16,
         use_dis_content=False, reparam=True, concat=False,
         compute_dtype=cli.dtype,
+        # match the ref side's schedule exactly (ref_args: lr_policy lambda,
+        # decay from iters/2) — the default 'step' policy would hold lr
+        # constant over a 1k-iter run while the reference anneals to ~0
+        lr_policy="lambda", n_iter_decay=cli.iters // 2,
         n_iters=cli.iters, max_iter=cli.iters,
         mode="train", logdir=None, checkpoint_dir=ckpt_dir,
         **{k: v for k, v in CFG.items() if k not in ("input_dim",)},
     )
     model = AdaINModel(targs)
     state = model.initialize()
+    if cli.init_from:
+        # start from an imported (e.g. reference) parameter set — isolates
+        # init-distribution effects from training-dynamics effects
+        from masterthesis_tpu.checkpoint import load_pytree
+
+        ported = load_pytree(cli.init_from)["params"]
+        params = dict(state.params)
+        params.update({k: ported[k] for k in ported if k in params})
+        opt_state = {k: model.tx[k].init(params[k]) for k in params}
+        state = type(state)(step=state.step, params=params,
+                            opt_state=opt_state, extra=state.extra)
+        print(f"initialized {list(ported)} from {cli.init_from}", flush=True)
     feed_args = types.SimpleNamespace(
         dataroot=os.path.join(cli.out, "data"), mode="train",
         load_size=cli.size + 16, crop_size=cli.size, no_flip=False,
@@ -305,6 +321,12 @@ def run_tpu(cli):
             print(f"[tpu] iter {it} {keep}", flush=True)
         if it % cli.ckpt_every == 0 or it == cli.iters:
             ckpts[it] = jax.tree.map(np.asarray, dict(state.params))
+            # persist for post-hoc diagnostics (flat npz of leaves)
+            flat = {
+                jax.tree_util.keystr(path): leaf
+                for path, leaf in jax.tree_util.tree_flatten_with_path(ckpts[it])[0]
+            }
+            np.savez(os.path.join(ckpt_dir, f"params_{it}.npz"), **flat)
 
     fwd = model._forward_random_jit
     results = []
@@ -363,6 +385,8 @@ def main():
                     help="tpu-side compute dtype (the ref side is f32 torch)")
     ap.add_argument("--tag", type=str, default="",
                     help="suffix for the tpu-side results file")
+    ap.add_argument("--init_from", type=str, default="",
+                    help="tpu side: initialize params from this ported ckpt")
     cli = ap.parse_args()
     cli.batch_size = CFG["batch_size"]
 

@@ -29,8 +29,10 @@ def categorize(name: str) -> str:
         return "conv fusion"
     if n.startswith("%convolution") or ".conv" in n:
         return "convolution"
-    if "custom-call" in n or "pallas" in n:
-        return "custom call (pallas)"
+    # match only the op itself — fusions consuming a %custom-call operand
+    # mention it in their argument list and must not land here
+    if n.startswith("%custom-call") or "pallas" in n:
+        return "custom call (pallas/conv-lib)"
     if "all-reduce" in n or "all-gather" in n or "collective" in n:
         return "collective"
     if "copy" in n or "bitcast" in n or "transpose" in n:
