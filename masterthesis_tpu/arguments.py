@@ -70,6 +70,12 @@ def _add_base_args(parser: argparse.ArgumentParser):
     parser.add_argument("--device_preproc", action="store_true",
                         help="host decodes+resizes to uint8 only; crop/flip/"
                              "normalize run fused on-device (4x less H2D)")
+    parser.add_argument("--gan_step", type=str, default="reference",
+                        choices=["reference", "fused"],
+                        help="'fused' shares the G forward with the D updates "
+                             "(distribution-equivalent, saves an encode+decode "
+                             "per iteration); 'reference' mirrors the "
+                             "reference's independent D-phase fakes")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize encoder/decoder activations in the"
                              " backward pass (jax.checkpoint) to cut HBM use")

@@ -465,11 +465,14 @@ class Dense(nn.Module):
 
     @nn.compact
     def __call__(self, x):
+        from masterthesis_tpu.ops.initializers import torch_linear_bias_init_for
+
         return nn.Dense(
             self.features,
             use_bias=self.use_bias,
             kernel_init=torch_linear_kernel_init,
-            bias_init=torch_linear_bias_init,
+            # torch default bias U(+-1/sqrt(fan_in)) — fan_in known at trace
+            bias_init=torch_linear_bias_init_for(int(x.shape[-1])),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
         )(x)

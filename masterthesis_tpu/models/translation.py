@@ -65,7 +65,12 @@ class TranslationModel(Model):
         self.print_loss = ["g_adv", "g_cls", "l1_cc_rec"]
         if getattr(args, "vgg_loss", None) is not None:
             self.print_loss += ["g_p", "g_p2"]
-        self._main_step = jax.jit(self._main_step_impl, donate_argnums=0)
+        step_impl = (
+            self._main_step_fused_impl
+            if getattr(args, "gan_step", "reference") == "fused"
+            else self._main_step_impl
+        )
+        self._main_step = jax.jit(step_impl, donate_argnums=0)
         self._content_step = jax.jit(self._content_step_impl, donate_argnums=0)
         self._forward_jit = jax.jit(self._forward_impl)
         self._forward_random_jit = jax.jit(self._forward_random_impl)
@@ -372,9 +377,16 @@ class TranslationModel(Model):
         img_random = jax.lax.stop_gradient(jnp.concatenate([img_br, img_ar], axis=0))
         return img_fake, img_random
 
-    def _g1_loss(self, p, extra, img, c_org, b, ks, aux_params, train=True):
-        """Generator phase-1 loss (reference backward_generator,
-        base_model.py:266-366). Returns (total, logs)."""
+    def _g1_forward(self, p, extra, img, c_org, b, ks, aux_params, train=True):
+        """Generator phase-1 forward + every non-adversarial loss term
+        (reference backward_generator, base_model.py:266-366, minus the
+        D-dependent adv/cls terms — split out so the fused step can apply
+        them against the just-updated discriminator through a saved vjp).
+
+        Returns ``(aux_total, img_fake, z_pack, logs)`` where ``z_pack`` is
+        the stop-gradient'd ``(z_ca, z_cb)`` pair the fused step reuses to
+        decode the D2 random-style fakes without a second content encode.
+        """
         a = self.args
         k = (lambda i: ks[i] if ks is not None else None)
         cls_a, cls_b = c_org[:b], c_org[b:]
@@ -403,7 +415,6 @@ class TranslationModel(Model):
             k(5),
             train=train,
         )
-        adv, cls = self._g_adv_loss(p, extra, img, img_fake, c_org, "discriminator1")
         loss_self = L.l1_loss(img, img_self) * a.lambda_rec
         loss_cc = L.l1_loss(img, img_recon) * a.lambda_rec
         loss_kl_zc = L.l2_regularize(z_c) * 0.01
@@ -411,26 +422,51 @@ class TranslationModel(Model):
             loss_kl_zs = L.kl_divergence(mu, logvar) * 0.01
         else:
             loss_kl_zs = L.l2_regularize(z_s) * 0.01
-        total = adv + cls + loss_self + loss_cc + loss_kl_zc + loss_kl_zs
+        aux_total = loss_self + loss_cc + loss_kl_zc + loss_kl_zs
         if getattr(a, "use_dis_content", False):
             pred = self.discriminate(p, extra, "content_discriminator", z_c)
             loss_content = L.bce_logits_loss(pred, 1.0 - c_org)
-            total = total + loss_content
+            aux_total = aux_total + loss_content
             g_logs["g_content"] = loss_content
         if self.perceptual is not None:
             img_fake_p = jnp.concatenate([img_ab, img_ba], axis=0)
             g_p = self._perceptual_loss(aux_params, img, img_fake_p) * a.lambda_perceptual
-            total = total + g_p
+            aux_total = aux_total + g_p
             g_logs["g_p"] = g_p
         g_logs.update(
-            g_adv=adv, g_cls=cls, kl_zc=loss_kl_zc, kl_zs=loss_kl_zs,
-            l1_self_rec=loss_self, l1_cc_rec=loss_cc, total_g=total,
+            kl_zc=loss_kl_zc, kl_zs=loss_kl_zs,
+            l1_self_rec=loss_self, l1_cc_rec=loss_cc,
         )
+        z_pack = jax.lax.stop_gradient((z_ca, z_cb))
+        return aux_total, img_fake, z_pack, g_logs
+
+    def _g1_loss(self, p, extra, img, c_org, b, ks, aux_params, train=True):
+        """Generator phase-1 loss (reference backward_generator,
+        base_model.py:266-366). Returns (total, logs)."""
+        aux_total, img_fake, _, g_logs = self._g1_forward(
+            p, extra, img, c_org, b, ks, aux_params, train=train
+        )
+        adv, cls = self._g_adv_loss(p, extra, img, img_fake, c_org, "discriminator1")
+        total = aux_total + adv + cls
+        g_logs = dict(g_logs)
+        g_logs.update(g_adv=adv, g_cls=cls, total_g=total)
         return total, g_logs
 
-    def _g2_loss(self, p, extra, img, c_org, b, z_sr2, ks, aux_params, train=True):
-        """Generator phase-2 (random-decode) loss (reference
-        backward_decoder_random, base_model.py:373-434)."""
+    def _g2_adv(self, p, extra, img, img_random, c_org):
+        """Phase-2 adversarial term with the reference's discriminator
+        selection quirks (base_model.py:386-409)."""
+        a = self.args
+        if getattr(a, "ms_dis", False):
+            return self._g_adv_loss(p, extra, img, img_random, c_org, "discriminator1")
+        if getattr(a, "use_ragan", False):
+            return self._g_adv_loss(
+                p, extra, img, img_random, c_org, "discriminator1", "discriminator2"
+            )
+        return self._g_adv_loss(p, extra, img, img_random, c_org, "discriminator2")
+
+    def _g2_forward(self, p, extra, img, c_org, b, z_sr2, ks, aux_params, train=True):
+        """Phase-2 forward + non-adversarial terms (latent regression,
+        perceptual); the adv term is split out for the fused step."""
         a = self.args
         k = (lambda i: ks[i] if ks is not None else None)
         g_logs = {}
@@ -440,37 +476,158 @@ class TranslationModel(Model):
         style = jnp.concatenate([z_sr2, z_sr2], axis=0)
         img_random = self.decode(p, content, style, c_org, k(1), train=train)
         img_br, img_ar = img_random[:b], img_random[b:]
-        # discriminator selection quirks (base_model.py:386-409)
-        if getattr(a, "ms_dis", False):
-            adv2, cls2 = self._g_adv_loss(
-                p, extra, img, img_random, c_org, "discriminator1"
-            )
-        elif getattr(a, "use_ragan", False):
-            adv2, cls2 = self._g_adv_loss(
-                p, extra, img, img_random, c_org, "discriminator1", "discriminator2"
-            )
-        else:
-            adv2, cls2 = self._g_adv_loss(
-                p, extra, img, img_random, c_org, "discriminator2"
-            )
         # latent regression (base_model.py:410-421)
         z_rec, mu2, _ = self.encode_style(p, img_random, c_org, k(2), train=train)
         reg_target = mu2 if self.reparam else z_rec
         loss_z_a = L.l1_loss(reg_target[:b], z_sr2)
         loss_z_b = L.l1_loss(reg_target[b:], z_sr2)
         loss_z_l1 = (loss_z_a + loss_z_b) * 10.0
-        total = loss_z_l1 + adv2 + cls2
+        aux_total = loss_z_l1
         if self.perceptual is not None:
             img_random_p = jnp.concatenate([img_ar, img_br], axis=0)
             g_p2 = self._perceptual_loss(aux_params, img, img_random_p) * a.lambda_perceptual
-            total = total + g_p2
+            aux_total = aux_total + g_p2
             g_logs["g_p2"] = g_p2
-        g_logs.update(l1_recon_z=loss_z_l1, gan2=adv2, gan2_cls=cls2)
+        g_logs.update(l1_recon_z=loss_z_l1)
+        return aux_total, img_random, g_logs
+
+    def _g2_loss(self, p, extra, img, c_org, b, z_sr2, ks, aux_params, train=True):
+        """Generator phase-2 (random-decode) loss (reference
+        backward_decoder_random, base_model.py:373-434)."""
+        aux_total, img_random, g_logs = self._g2_forward(
+            p, extra, img, c_org, b, z_sr2, ks, aux_params, train=train
+        )
+        adv2, cls2 = self._g2_adv(p, extra, img, img_random, c_org)
+        total = aux_total + adv2 + cls2
+        g_logs = dict(g_logs)
+        g_logs.update(gan2=adv2, gan2_cls=cls2)
         return total, g_logs
 
     # ------------------------------------------------------------------ #
     # train steps
     # ------------------------------------------------------------------ #
+    def _update_d(self, d_name, params, opt_state, extra, img, fake, c_org,
+                  k_gp, lr, logs, prefix):
+        """Value-and-grad + optimizer step for one discriminator (with the
+        spectral-norm u refresh folded in when dis_sn is set)."""
+        use_sn = bool(getattr(self.args, "dis_sn", False))
+        (d_total, d_logs), grads = jax.value_and_grad(
+            self._d_loss, argnums=1, has_aux=True
+        )(d_name, params[d_name], params, extra, img, fake, c_org, k_gp,
+          update_u=use_sn)
+        if use_sn:
+            extra[d_name] = d_logs.pop("_spectral")
+        params[d_name], opt_state[d_name] = apply_updates(
+            self.tx[d_name], grads, opt_state[d_name], params[d_name], lr
+        )
+        logs.update({f"{prefix}_{k}": v for k, v in d_logs.items()})
+        logs.update(d_logs)  # reference keys: last write (d2) wins
+
+    def _main_step_fused_impl(self, state: TrainState, batch, rng, aux_params):
+        """Fused iteration (``--gan_step fused``): the D updates reuse the
+        G-phase forwards instead of the separate ``_make_d_fakes`` pass.
+
+        The reference generates one set of fakes for the D updates and a
+        second, independently-drawn set inside backward_generator
+        (base_model.py:168-197 vs :266-304). Both draws sample the same
+        distribution from the SAME pre-update generator, so sharing one
+        forward is distribution-equivalent (the standard DCGAN fake-reuse
+        pattern) and saves a full content-encode + style-encode + 2b decode
+        per iteration. Update order is preserved exactly: D1 and D2 step
+        first (on stop-gradient'd fakes from the pre-update G), then G
+        phase 1 sees the UPDATED discriminator through a saved vjp, then
+        phase 2 runs as usual against the updated D2.
+        """
+        a = self.args
+        img = jnp.concatenate([batch["x1"], batch["x2"]], axis=0)
+        c_org = jnp.concatenate([batch["y1"], batch["y2"]], axis=0).astype(jnp.float32)
+        b = batch["x1"].shape[0]
+        lr = self.schedule(state.step)
+        params = dict(state.params)
+        opt_state = dict(state.opt_state)
+        extra = dict(state.extra)
+        logs: Dict[str, jnp.ndarray] = {}
+        ks = list(jax.random.split(rng, 14))
+
+        # ---- G phase-1 forward (pre-update params), vjp saved ----------- #
+        gp = {k: params[k] for k in GEN_NETS}
+
+        def g1_fwd(gparams):
+            p = {**params, **gparams}
+            return self._g1_forward(
+                p, extra, img, c_org, b, ks[4:10], aux_params, train=True
+            )
+
+        (aux_total, img_fake, z_pack, g1_logs), vjp1 = jax.vjp(g1_fwd, gp)
+
+        # ---- D updates on detached fakes (reference order: D before G) -- #
+        fake_det = jax.lax.stop_gradient(img_fake)
+        self._update_d(
+            "discriminator1", params, opt_state, extra, img, fake_det, c_org,
+            jax.random.fold_in(ks[3], 1), lr, logs, "d1",
+        )
+        z_sr = self.get_z_random(ks[2], b)
+        z_ca, z_cb = z_pack
+        img_random_d = jax.lax.stop_gradient(
+            self.decode(
+                params,
+                jnp.concatenate([z_cb, z_ca], axis=0),
+                jnp.concatenate([z_sr, z_sr], axis=0),
+                c_org, ks[3], train=True,
+            )
+        )
+        self._update_d(
+            "discriminator2", params, opt_state, extra, img, img_random_d,
+            c_org, jax.random.fold_in(ks[3], 2), lr, logs, "d2",
+        )
+
+        # ---- G phase-1 adv vs the UPDATED D1, grads through the vjp ----- #
+        def adv1(fake):
+            adv, cls = self._g_adv_loss(
+                params, extra, img, fake, c_org, "discriminator1"
+            )
+            return adv + cls, (adv, cls)
+
+        (advcls, (adv, cls)), fake_cot = jax.value_and_grad(adv1, has_aux=True)(
+            img_fake
+        )
+        cot = (
+            jnp.ones_like(aux_total),
+            fake_cot,
+            jax.tree.map(jnp.zeros_like, z_pack),
+            jax.tree.map(jnp.zeros_like, g1_logs),
+        )
+        (g_grads,) = vjp1(cot)
+        for k in GEN_NETS:
+            params[k], opt_state[k] = apply_updates(
+                self.tx[k], g_grads[k], opt_state[k], params[k], lr
+            )
+        logs.update(g1_logs)
+        logs.update(g_adv=adv, g_cls=cls, total_g=aux_total + advcls)
+
+        # ---- G phase 2 (unchanged semantics) ---------------------------- #
+        z_sr2 = self.get_z_random(ks[11], b)
+
+        def g2_loss(gparams):
+            p = {**params, **gparams}
+            return self._g2_loss(
+                p, extra, img, c_org, b, z_sr2, (ks[10], ks[12], ks[13]),
+                aux_params, train=True,
+            )
+
+        gp2 = {k: params[k] for k in ("content_encoder", "decoder")}
+        (_, g2_logs), grads2 = jax.value_and_grad(g2_loss, has_aux=True)(gp2)
+        for k in ("content_encoder", "decoder"):
+            params[k], opt_state[k] = apply_updates(
+                self.tx[k], grads2[k], opt_state[k], params[k], lr
+            )
+        logs.update(g2_logs)
+        logs["lr"] = lr
+
+        return TrainState(
+            step=state.step + 1, params=params, opt_state=opt_state, extra=extra
+        ), logs
+
     def _main_step_impl(self, state: TrainState, batch, rng, aux_params):
         a = self.args
         img = jnp.concatenate([batch["x1"], batch["x2"]], axis=0)
@@ -489,23 +646,15 @@ class TranslationModel(Model):
             params, extra, img, c_org, b, z_sr, (ks[0], ks[1], ks[3]), train=True
         )
 
-        use_sn = bool(getattr(a, "dis_sn", False))
         for d_name, fake, prefix in (
             ("discriminator1", img_fake, "d1"),
             ("discriminator2", img_random, "d2"),
         ):
             k_gp = jax.random.fold_in(ks[3], 1 if d_name == "discriminator1" else 2)
-            (d_total, d_logs), grads = jax.value_and_grad(self._d_loss, argnums=1, has_aux=True)(
-                d_name, params[d_name], params, extra, img, fake, c_org, k_gp,
-                update_u=use_sn,  # u refresh folded into this grad pass
+            self._update_d(
+                d_name, params, opt_state, extra, img, fake, c_org, k_gp, lr,
+                logs, prefix,
             )
-            if use_sn:
-                extra[d_name] = d_logs.pop("_spectral")
-            params[d_name], opt_state[d_name] = apply_updates(
-                self.tx[d_name], grads, opt_state[d_name], params[d_name], lr
-            )
-            logs.update({f"{prefix}_{k}": v for k, v in d_logs.items()})
-            logs.update(d_logs)  # reference keys: last write (d2) wins
 
         # ------------------- G phase 1 (base_model.py:266-366) ----------- #
         def g1_loss(gparams):

@@ -53,8 +53,20 @@ torch_linear_kernel_init = ji.variance_scaling(1.0 / 3.0, "fan_in", "uniform")
 def torch_linear_bias_init(key, shape, dtype=jnp.float32, fan_in: int | None = None):
     # flax calls bias_init(key, (features,), dtype); fan_in is unknown here, so
     # approximate with zeros when not provided. Conv biases in the reference are
-    # zeroed anyway (functions.py:87-88); Linear bias scale has negligible effect.
+    # zeroed anyway (functions.py:87-88). For Linear biases use
+    # ``torch_linear_bias_init_for(fan_in)`` — the reference leaves nn.Linear
+    # at torch defaults (U(+-1/sqrt(fan_in)) bias), and matching it matters:
+    # the style-MLP biases reach std ~0.17 at fan_in 36.
     if fan_in:
         bound = 1.0 / jnp.sqrt(fan_in)
         return jax.random.uniform(key, shape, dtype, -bound, bound)
     return jnp.zeros(shape, dtype)
+
+
+def torch_linear_bias_init_for(fan_in: int):
+    """Fan-in-aware torch nn.Linear default bias init: U(+-1/sqrt(fan_in))."""
+
+    def init(key, shape, dtype=jnp.float32):
+        return torch_linear_bias_init(key, shape, dtype, fan_in=fan_in)
+
+    return init

@@ -170,10 +170,15 @@ class AdaptiveInstanceNorm(nn.Module):
 
     @nn.compact
     def __call__(self, x, s):
+        from masterthesis_tpu.ops.initializers import torch_linear_bias_init_for
+
         h = nn.Dense(
             2 * self.num_features,
             kernel_init=torch_linear_kernel_init,
-            bias_init=torch_linear_bias_init,
+            # torch nn.Linear default bias (reference norm.py:27 leaves the
+            # AdaIN fc at torch defaults — matching the init distribution
+            # matters for training-dynamics parity)
+            bias_init=torch_linear_bias_init_for(int(s.shape[-1])),
             dtype=self.dtype,
             param_dtype=self.param_dtype,
             name="style_proj",
