@@ -283,27 +283,36 @@ class TranslationModel(Model):
         mode = a.gan_mode
         p = {**params, d_name: d_params}
         new_spectral = None
+        # ONE forward over concat(fake, real) instead of two half-batch
+        # forwards: the discriminators are per-sample (pure conv stacks /
+        # instance norm, no cross-batch coupling), so splitting the logits
+        # afterwards is exact — and at training batch sizes every D conv
+        # runs at 2x the per-op batch, which is where the MXU efficiency is.
+        # The spectral-norm u refresh (power iteration on W) is input-
+        # independent, so folding it into the combined pass changes nothing.
+        b_f = fake.shape[0]
+        both = jnp.concatenate([fake, real.astype(fake.dtype)], axis=0)
         if getattr(a, "ms_dis", False):
-            outs_fake = self.discriminate(p, extra, d_name, fake)
             if update_u:
-                outs_real, mut = self._apply(d_name, p, extra, real, mutable=True)
+                outs_both, mut = self._apply(d_name, p, extra, both, mutable=True)
                 new_spectral = mut["spectral"]
             else:
-                outs_real = self.discriminate(p, extra, d_name, real)
+                outs_both = self.discriminate(p, extra, d_name, both)
             adv = sum(
-                L.gan_loss(of[0], False, mode) + L.gan_loss(orr[0], True, mode)
-                for of, orr in zip(outs_fake, outs_real)
+                L.gan_loss(o[0][:b_f], False, mode) + L.gan_loss(o[0][b_f:], True, mode)
+                for o in outs_both
             )
-            cls = sum(L.bce_logits_loss(orr[1], c_org) for orr in outs_real)
+            cls = sum(L.bce_logits_loss(o[1][b_f:], c_org) for o in outs_both)
         else:
-            pred_fake, _ = self.discriminate(p, extra, d_name, fake)
             if update_u:
-                (pred_real, pred_real_cls), mut = self._apply(
-                    d_name, p, extra, real, mutable=True
+                (pred_both, cls_both), mut = self._apply(
+                    d_name, p, extra, both, mutable=True
                 )
                 new_spectral = mut["spectral"]
             else:
-                pred_real, pred_real_cls = self.discriminate(p, extra, d_name, real)
+                pred_both, cls_both = self.discriminate(p, extra, d_name, both)
+            pred_fake, pred_real = pred_both[:b_f], pred_both[b_f:]
+            pred_real_cls = cls_both[b_f:]
             if getattr(a, "use_ragan", False):
                 adv = L.ragan_loss(pred_real, pred_fake, True, mode)
             elif "hinge" in mode:

@@ -15,6 +15,7 @@ result is cast back — on TPU the normalization fuses into neighbouring convs.
 """
 from __future__ import annotations
 
+import functools
 from typing import Any, Optional
 
 import jax
@@ -58,10 +59,42 @@ def _use_pallas_moments() -> bool:
 
 
 def instance_norm(x: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:
-    """Per-sample per-channel normalization over spatial dims of NHWC input."""
+    """Per-sample per-channel normalization over spatial dims of NHWC input.
+
+    Differentiable via an analytic custom VJP: autodiff through the two-pass
+    moments builds ~5 spatial reductions plus their elementwise chains in the
+    backward; the closed form needs 2 reductions and one apply pass. On the
+    256px training step this is pure HBM-traffic savings (the step is
+    bandwidth-bound in the norm backward, see BASELINE.md).
+    """
+    return _instance_norm_vjp(x, eps)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _instance_norm_vjp(x, eps):
     mean, var = _moments(x, axes=(1, 2))
     y = (x.astype(jnp.float32) - mean) * jax_rsqrt(var + eps)
     return y.astype(x.dtype)
+
+
+def _instance_norm_fwd(x, eps):
+    mean, var = _moments(x, axes=(1, 2))
+    rstd = jax_rsqrt(var + eps)
+    y = (x.astype(jnp.float32) - mean) * rstd
+    return y.astype(x.dtype), (x, mean, rstd)
+
+
+def _instance_norm_bwd(eps, res, g):
+    x, mean, rstd = res
+    g32 = g.astype(jnp.float32)
+    x_hat = (x.astype(jnp.float32) - mean) * rstd
+    g_mean = jnp.mean(g32, axis=(1, 2), keepdims=True)
+    gx_mean = jnp.mean(g32 * x_hat, axis=(1, 2), keepdims=True)
+    dx = rstd * (g32 - g_mean - x_hat * gx_mean)
+    return (dx.astype(x.dtype),)
+
+
+_instance_norm_vjp.defvjp(_instance_norm_fwd, _instance_norm_bwd)
 
 
 def layer_norm(
@@ -82,6 +115,9 @@ def layer_norm(
         n = float(x.shape[1] * x.shape[2] * x.shape[3])
         mean = (stats[0] / n).reshape(-1, 1, 1, 1)
         var = jnp.maximum(stats[1] / n - (stats[0] / n) ** 2, 0.0).reshape(-1, 1, 1, 1)
+    elif scale is not None and bias is not None:
+        # the trainable path: analytic custom VJP (see instance_norm)
+        return _layer_norm_affine_vjp(x, scale, bias, eps)
     else:
         mean, var = _moments(x, axes=(1, 2, 3))
     y = (x.astype(jnp.float32) - mean) * jax_rsqrt(var + eps)
@@ -90,6 +126,37 @@ def layer_norm(
     if bias is not None:
         y = y + bias.astype(jnp.float32)
     return y.astype(x.dtype)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3,))
+def _layer_norm_affine_vjp(x, scale, bias, eps):
+    mean, var = _moments(x, axes=(1, 2, 3))
+    y = (x.astype(jnp.float32) - mean) * jax_rsqrt(var + eps)
+    return (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+
+
+def _layer_norm_affine_fwd(x, scale, bias, eps):
+    mean, var = _moments(x, axes=(1, 2, 3))
+    rstd = jax_rsqrt(var + eps)
+    y = (x.astype(jnp.float32) - mean) * rstd
+    out = (y * scale.astype(jnp.float32) + bias.astype(jnp.float32)).astype(x.dtype)
+    return out, (x, scale, bias, mean, rstd)
+
+
+def _layer_norm_affine_bwd(eps, res, g):
+    x, scale, bias, mean, rstd = res
+    g32 = g.astype(jnp.float32)
+    x_hat = (x.astype(jnp.float32) - mean) * rstd
+    d_bias = jnp.sum(g32, axis=(0, 1, 2))
+    d_scale = jnp.sum(g32 * x_hat, axis=(0, 1, 2))
+    h = g32 * scale.astype(jnp.float32)
+    h_mean = jnp.mean(h, axis=(1, 2, 3), keepdims=True)
+    hx_mean = jnp.mean(h * x_hat, axis=(1, 2, 3), keepdims=True)
+    dx = rstd * (h - h_mean - x_hat * hx_mean)
+    return dx.astype(x.dtype), d_scale.astype(scale.dtype), d_bias.astype(bias.dtype)
+
+
+_layer_norm_affine_vjp.defvjp(_layer_norm_affine_fwd, _layer_norm_affine_bwd)
 
 
 def adain(x: jnp.ndarray, gamma: jnp.ndarray, beta: jnp.ndarray, eps: float = 1e-5) -> jnp.ndarray:

@@ -250,11 +250,13 @@ def run_ref(cli):
         results.append(row)
     out = {
         "side": "reference (PyTorch, CPU)",
-        "config": {**CFG, "crop_size": cli.size, "iters": cli.iters},
+        "config": {**CFG, "crop_size": cli.size, "iters": cli.iters,
+                   "seed": cli.seed},
         "sec_per_iter": round(float(np.mean(times)), 3),
         "trend": results,
     }
-    with open(os.path.join(cli.out, "ref_results.json"), "w") as f:
+    suffix = f"_{cli.tag}" if cli.tag else ""
+    with open(os.path.join(cli.out, f"ref_results{suffix}.json"), "w") as f:
         json.dump(out, f, indent=1)
     print(json.dumps(out))
 
@@ -282,7 +284,7 @@ def run_tpu(cli):
         # decay from iters/2) — the default 'step' policy would hold lr
         # constant over a 1k-iter run while the reference anneals to ~0
         lr_policy="lambda", n_iter_decay=cli.iters // 2,
-        n_iters=cli.iters, max_iter=cli.iters,
+        n_iters=cli.iters, max_iter=cli.iters, seed=cli.seed,
         mode="train", logdir=None, checkpoint_dir=ckpt_dir,
         **{k: v for k, v in CFG.items() if k not in ("input_dim",)},
     )
@@ -356,10 +358,11 @@ def run_report(cli):
     import glob as _glob
 
     sides = {}
-    ref_path = os.path.join(cli.out, "ref_results.json")
-    if os.path.exists(ref_path):
-        with open(ref_path) as f:
-            sides["ref"] = json.load(f)
+    for path in sorted(_glob.glob(os.path.join(cli.out, "ref_results*.json"))):
+        key = os.path.basename(path)[: -len(".json")]
+        key = "ref" if key == "ref_results" else key.replace("ref_results_", "ref_")
+        with open(path) as f:
+            sides[key] = json.load(f)
     for path in sorted(_glob.glob(os.path.join(cli.out, "tpu_results*.json"))):
         key = os.path.basename(path)[: -len(".json")]
         key = "tpu" if key == "tpu_results" else key.replace("tpu_results_", "tpu_")

@@ -24,25 +24,29 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def categorize(name: str) -> str:
-    n = name.lower()
-    if "conv" in n and "fusion" in n:
-        return "conv fusion"
-    if n.startswith("%convolution") or ".conv" in n:
+    # categorize by the INSTRUCTION NAME only (the `%op = ` prefix) — the
+    # full HLO string lists operands, and a fusion consuming a %copy-done
+    # or %custom-call operand must not inherit that operand's category
+    # (this bug once attributed 64 ms of backward fusions to "custom call").
+    n = name.lower().split(" = ")[0].lstrip("%")
+    if "fusion" in n:
+        if "conv" in n:
+            return "conv fusion"
+        if "reduce" in n:
+            return "reduce fusion"
+        return "elementwise fusion"
+    if n.startswith("convolution"):
         return "convolution"
-    # match only the op itself — fusions consuming a %custom-call operand
-    # mention it in their argument list and must not land here
-    if n.startswith("%custom-call") or "pallas" in n:
+    if n.startswith("custom-call"):
         return "custom call (pallas/conv-lib)"
     if "all-reduce" in n or "all-gather" in n or "collective" in n:
         return "collective"
-    if "copy" in n or "bitcast" in n or "transpose" in n:
+    if "copy" in n or "bitcast" in n or "transpose" in n or "reverse" in n:
         return "copy/layout"
     if "reduce" in n:
-        return "reduce fusion"
+        return "reduce"
     if "scatter" in n or "dynamic-update" in n:
         return "scatter/dus"
-    if "fusion" in n:
-        return "elementwise fusion"
     if "rng" in n or "random" in n:
         return "rng"
     return "other"
@@ -55,6 +59,7 @@ def main():
     ap.add_argument("--dim", type=int, default=64)
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--top", type=int, default=25)
+    ap.add_argument("--gan_step", choices=["reference", "fused"], default="reference")
     cli = ap.parse_args()
 
     import jax
@@ -67,7 +72,7 @@ def main():
     args = default_train_args(
         crop_size=cli.size, dim=cli.dim, latent_dim=8, num_domains=4,
         batch_size=cli.batch, compute_dtype="bfloat16", use_dis_content=True,
-        logdir=None, mode="train",
+        logdir=None, mode="train", gan_step=cli.gan_step,
     )
     model = AdaINModel(args)
     state = model.initialize()

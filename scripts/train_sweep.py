@@ -19,7 +19,8 @@ os.environ.setdefault("JAX_COMPILATION_CACHE_DIR", "/tmp/tpu_jax_cache")
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
-def bench_config(batch: int, remat: bool, size: int = 256, iters: int = 20):
+def bench_config(batch: int, remat: bool, size: int = 256, iters: int = 20,
+                 gan_step: str = "reference"):
     import jax
     import jax.numpy as jnp
 
@@ -30,7 +31,7 @@ def bench_config(batch: int, remat: bool, size: int = 256, iters: int = 20):
     args = default_train_args(
         crop_size=size, dim=64, latent_dim=8, num_domains=4,
         batch_size=batch, compute_dtype="bfloat16", use_dis_content=True,
-        remat=remat, logdir=None, mode="train",
+        remat=remat, logdir=None, mode="train", gan_step=gan_step,
     )
     model = AdaINModel(args)
     state = model.initialize()
@@ -65,7 +66,7 @@ def bench_config(batch: int, remat: bool, size: int = 256, iters: int = 20):
     dev_ms = sum(devtime.device_op_times(td).values()) / 4
 
     return {
-        "batch": batch, "remat": remat, "size": size,
+        "batch": batch, "remat": remat, "size": size, "gan_step": gan_step,
         "wall_it_s": round(its, 3),
         "img_s": round(its * 2 * batch, 1),
         "device_ms_iter": round(dev_ms, 1),
@@ -76,16 +77,19 @@ def bench_config(batch: int, remat: bool, size: int = 256, iters: int = 20):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--configs", nargs="+", default=["8,0", "8,1", "16,0", "16,1", "32,1"],
-                    help="list of batch,remat pairs")
+                    help="list of batch,remat[,gan_step] tuples (step: r=reference f=fused)")
     ap.add_argument("--size", type=int, default=256)
     cli = ap.parse_args()
     out = []
     for c in cli.configs:
-        b, r = c.split(",")
+        parts = c.split(",")
+        b, r = parts[0], parts[1]
+        step = {"r": "reference", "f": "fused"}[parts[2]] if len(parts) > 2 else "reference"
         try:
-            res = bench_config(int(b), bool(int(r)), size=cli.size)
+            res = bench_config(int(b), bool(int(r)), size=cli.size, gan_step=step)
         except Exception as e:  # OOM at large batch is a finding, not a crash
-            res = {"batch": int(b), "remat": bool(int(r)), "error": repr(e)[:200]}
+            res = {"batch": int(b), "remat": bool(int(r)), "gan_step": step,
+                   "error": repr(e)[:200]}
         out.append(res)
         print(json.dumps(res), flush=True)
     with open("/tmp/train_sweep.json", "w") as f:

@@ -84,3 +84,59 @@ def test_spectral_norm_scales_to_unit_sigma():
     w = np.asarray(k_bar).reshape(-1, 16)
     sigma = np.linalg.svd(w, compute_uv=False)[0]
     assert abs(sigma - 1.0) < 0.05
+
+
+def _plain_instance_norm(x, eps=1e-5):
+    x32 = x.astype(jnp.float32)
+    mean = jnp.mean(x32, axis=(1, 2), keepdims=True)
+    var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2), keepdims=True)
+    return ((x32 - mean) * jax.lax.rsqrt(var + eps)).astype(x.dtype)
+
+
+def test_instance_norm_custom_vjp_matches_autodiff():
+    """The analytic IN backward (norms._instance_norm_bwd) must equal plain
+    autodiff through the two-pass moments to float tolerance."""
+    key = jax.random.PRNGKey(0)
+    x = jax.random.normal(key, (2, 6, 5, 4), jnp.float32) * 3.0 + 1.0
+    ct = jax.random.normal(jax.random.fold_in(key, 1), (2, 6, 5, 4), jnp.float32)
+
+    def loss_custom(x):
+        return jnp.sum(instance_norm(x) * ct)
+
+    def loss_plain(x):
+        return jnp.sum(_plain_instance_norm(x) * ct)
+
+    np.testing.assert_allclose(loss_custom(x), loss_plain(x), rtol=1e-6)
+    g_c = jax.grad(loss_custom)(x)
+    g_p = jax.grad(loss_plain)(x)
+    np.testing.assert_allclose(np.asarray(g_c), np.asarray(g_p), rtol=1e-5, atol=1e-6)
+
+
+def test_layer_norm_affine_custom_vjp_matches_autodiff():
+    """Analytic affine-LN backward == autodiff for dx, dscale, dbias."""
+    key = jax.random.PRNGKey(7)
+    x = jax.random.normal(key, (3, 4, 5, 6), jnp.float32) * 2.0 - 0.5
+    scale = jax.random.normal(jax.random.fold_in(key, 1), (6,)) * 0.3 + 1.0
+    bias = jax.random.normal(jax.random.fold_in(key, 2), (6,)) * 0.1
+    ct = jax.random.normal(jax.random.fold_in(key, 3), x.shape, jnp.float32)
+
+    def plain(x, scale, bias, eps=1e-5):
+        x32 = x.astype(jnp.float32)
+        mean = jnp.mean(x32, axis=(1, 2, 3), keepdims=True)
+        var = jnp.mean(jnp.square(x32 - mean), axis=(1, 2, 3), keepdims=True)
+        y = (x32 - mean) * jax.lax.rsqrt(var + eps)
+        return (y * scale + bias).astype(x.dtype)
+
+    def loss_custom(args):
+        return jnp.sum(layer_norm(args[0], args[1], args[2]) * ct)
+
+    def loss_plain(args):
+        return jnp.sum(plain(*args) * ct)
+
+    np.testing.assert_allclose(loss_custom((x, scale, bias)),
+                               loss_plain((x, scale, bias)), rtol=1e-6)
+    g_c = jax.grad(loss_custom)((x, scale, bias))
+    g_p = jax.grad(loss_plain)((x, scale, bias))
+    for a, b in zip(g_c, g_p):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-5,
+                                   atol=1e-6)
