@@ -90,7 +90,7 @@ def main():
             {"metric": f"{dtype} fwd img/s", "value": round(bf16_rate, 2), "unit": "img/s"},
             {"metric": "int8 serving fwd img/s", "value": round(int8_rate, 2), "unit": "img/s"},
             {"metric": "int8-vs-bf16 PSNR (random weights)", "value": round(psnr, 2), "unit": "dB"},
-            bench_train_step(on_tpu, size, dtype),
+            *bench_train_step(on_tpu, size, dtype),
         ],
     }
     print(json.dumps(result))
@@ -98,7 +98,16 @@ def main():
 
 def bench_train_step(on_tpu: bool, size: int, dtype: str):
     """Full main training step (D1+D2+G1+G2 with the content-D confusion
-    term, one jitted donated call) at the flagship config, batch 8."""
+    term, one jitted donated call) at the flagship config, batch 8 — using
+    the fused GAN step (--gan_step fused: D updates share the G phase-1
+    forward through a saved vjp; exactness pinned in tests/test_fused_step.py).
+
+    Also reports the full-schedule training throughput: the flagship config
+    runs the content-discriminator schedule (d_iter=3 — 2 cheap content-D
+    iterations per main iteration, reference base_model.py:461-470), so the
+    img/s a user actually gets from `train.py` is ~2.5x the main-step-only
+    number. Both are reported.
+    """
     import jax
     import jax.numpy as jnp
 
@@ -109,7 +118,7 @@ def bench_train_step(on_tpu: bool, size: int, dtype: str):
     args = default_train_args(
         crop_size=size, dim=64 if on_tpu else 16, latent_dim=8, num_domains=4,
         batch_size=batch, compute_dtype=dtype, use_dis_content=on_tpu,
-        logdir=None, mode="train",
+        logdir=None, mode="train", gan_step="fused",
     )
     model = AdaINModel(args)
     state = model.initialize()
@@ -128,11 +137,32 @@ def bench_train_step(on_tpu: bool, size: int, dtype: str):
         state, logs = model._main_step(state, batch_dict, jax.random.fold_in(rng, i), {})
     float(jnp.asarray(logs["total_g"], jnp.float32))  # forces the whole chain
     dt = time.perf_counter() - start
-    return {
-        "metric": f"train step it/s (AdaINModel full D+G, {dtype}, batch {batch}, {size}px)",
-        "value": round(iters / dt, 3),
+    main_its = iters / dt
+    metrics = [{
+        "metric": f"train step it/s (AdaINModel full D+G, fused, {dtype}, batch {batch}, {size}px)",
+        "value": round(main_its, 3),
         "unit": "it/s",
-    }
+    }]
+
+    if args.use_dis_content:
+        # steady-state schedule: iterations 1..N through optimize_parameters
+        # (2 of every d_iter=3 are content-D-only steps, like real training)
+        state, logs = model.optimize_parameters(state, batch_dict, 1, rng)
+        float(jnp.asarray(logs[next(iter(logs))], jnp.float32))  # compile content step
+        sched_iters = 30 if on_tpu else 3
+        start = time.perf_counter()
+        for i in range(1, sched_iters + 1):
+            state, logs = model.optimize_parameters(
+                state, batch_dict, i, jax.random.fold_in(rng, 1000 + i)
+            )
+        float(jnp.asarray(logs[next(iter(logs))], jnp.float32))
+        dt = time.perf_counter() - start
+        metrics.append({
+            "metric": f"training throughput img/s (full d_iter schedule, batch {batch}, {size}px)",
+            "value": round(sched_iters * 2 * batch / dt, 1),
+            "unit": "img/s",
+        })
+    return metrics
 
 
 if __name__ == "__main__":

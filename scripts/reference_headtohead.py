@@ -182,7 +182,9 @@ def run_ref(cli):
     torch.manual_seed(cli.seed)
     import models as ref_models  # reference package
 
-    ckpt_dir = os.path.join(cli.out, "ref_ckpt")
+    # per-tag checkpoint dir: concurrent/sequential seed runs must not
+    # clobber each other's model_{it}.ckpt files
+    ckpt_dir = os.path.join(cli.out, f"ref_ckpt_{cli.tag}" if cli.tag else "ref_ckpt")
     os.makedirs(ckpt_dir, exist_ok=True)
     args = ref_args(cli, ckpt_dir)
     model = ref_models.AdaINModel(args)
