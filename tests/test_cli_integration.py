@@ -70,6 +70,47 @@ def test_trainer_end_to_end(tmp_path):
     assert os.path.exists(os.path.join(args.display_dir, "gen_0.jpg"))
 
 
+def test_trainer_end_to_end_fused_step(tmp_path):
+    """The --gan_step fused trainer path drives the same loop end-to-end:
+    losses logged with the reference keys, checkpoint written, step count
+    advances through both content-D and main iterations."""
+    from masterthesis_tpu.data import PairedDataset
+    from masterthesis_tpu.models import AdaINModel
+
+    make_image_tree(tmp_path / "data", num_domains=4, per_domain=2)
+    args = tiny_train_args(
+        dataroot=str(tmp_path / "data"),
+        dataset=PairedDataset,
+        model=AdaINModel,
+        use_dis_content=True,
+        gan_step="fused",
+        d_iter=1,  # every iteration is a main step -> model.loss keeps its keys
+        num_workers=0,
+        n_iters=2,
+        max_iter=2,
+        print_freq=1,
+        save_freq=2,
+        display_freq=3,
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        display_dir=str(tmp_path / "images"),
+        logdir=None,
+        resume=None,
+        resume_opt=None,
+        shuffle=False,
+    )
+    os.makedirs(args.checkpoint_dir, exist_ok=True)
+    os.makedirs(args.display_dir, exist_ok=True)
+    trainer = Trainer()
+    dataloader = trainer.load_dataset(args)
+    model, state = trainer.create_model(args)
+    state = trainer.train(args, model, state, dataloader, mesh=None)
+    assert int(state.step) == 3
+    assert os.path.exists(os.path.join(args.checkpoint_dir, "model_3.ckpt"))
+    # the fused step logs the reference's loss keys
+    for key in ("g_adv", "g_cls", "l1_cc_rec", "total_g"):
+        assert key in model.loss
+
+
 def test_sampler_writes_translations(tmp_path):
     from masterthesis_tpu.models import AdaINModel
     from masterthesis_tpu.sample import Sampler
