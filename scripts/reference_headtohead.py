@@ -162,7 +162,7 @@ def ref_args(cli, ckpt_dir):
         use_dropout=False, mode="train", ms_dis=False, dis_norm=None,
         dis_sn=False, crop_size=cli.size, use_dis_content=False,
         use_ragan=False, vgg_loss=None, logdir=os.path.join(cli.out, "ref_logs"),
-        reparam=True, concat=False, num_scales=3, d_iter=3,
+        reparam=True, concat=cli.concat, num_scales=3, d_iter=3,
         resume=None, resume_opt=None, init_type="normal", init_gain=0.02,
         gpu_ids=[], last_iter=-1, lr_policy="lambda",
         n_iters=cli.iters, n_iter_decay=cli.iters // 2,
@@ -187,7 +187,7 @@ def run_ref(cli):
     ckpt_dir = os.path.join(cli.out, f"ref_ckpt_{cli.tag}" if cli.tag else "ref_ckpt")
     os.makedirs(ckpt_dir, exist_ok=True)
     args = ref_args(cli, ckpt_dir)
-    model = ref_models.AdaINModel(args)
+    model = getattr(ref_models, cli.model)(args)
     model.initialize()
 
     feed_args = types.SimpleNamespace(
@@ -253,7 +253,7 @@ def run_ref(cli):
     out = {
         "side": "reference (PyTorch, CPU)",
         "config": {**CFG, "crop_size": cli.size, "iters": cli.iters,
-                   "seed": cli.seed},
+                   "seed": cli.seed, "model": cli.model, "concat": cli.concat},
         "sec_per_iter": round(float(np.mean(times)), 3),
         "trend": results,
     }
@@ -272,15 +272,16 @@ def run_tpu(cli):
     import jax.numpy as jnp
 
     from masterthesis_tpu.arguments import default_train_args
-    from masterthesis_tpu.models import AdaINModel
+    from masterthesis_tpu.models import AdaINModel, BaseModel
 
+    model_cls = {"AdaINModel": AdaINModel, "BaseModel": BaseModel}[cli.model]
     ckpt_dir = os.path.join(cli.out, "tpu_ckpt")
     os.makedirs(ckpt_dir, exist_ok=True)
     targs = default_train_args(
         dataroot=os.path.join(cli.out, "data"),
-        model=AdaINModel,
+        model=model_cls,
         crop_size=cli.size, load_size=cli.size + 16,
-        use_dis_content=False, reparam=True, concat=False,
+        use_dis_content=False, reparam=True, concat=cli.concat,
         compute_dtype=cli.dtype,
         # match the ref side's schedule exactly (ref_args: lr_policy lambda,
         # decay from iters/2) — the default 'step' policy would hold lr
@@ -290,7 +291,7 @@ def run_tpu(cli):
         mode="train", logdir=None, checkpoint_dir=ckpt_dir,
         **{k: v for k, v in CFG.items() if k not in ("input_dim",)},
     )
-    model = AdaINModel(targs)
+    model = model_cls(targs)
     state = model.initialize()
     if cli.init_from:
         # start from an imported (e.g. reference) parameter set — isolates
@@ -347,7 +348,8 @@ def run_tpu(cli):
     out = {
         "side": "masterthesis_tpu (JAX)",
         "config": {**CFG, "crop_size": cli.size, "iters": cli.iters,
-                   "compute_dtype": cli.dtype, "seed": cli.seed},
+                   "compute_dtype": cli.dtype, "seed": cli.seed,
+                   "model": cli.model, "concat": cli.concat},
         "trend": results,
     }
     suffix = f"_{cli.tag}" if cli.tag else ""
@@ -392,6 +394,11 @@ def main():
                     help="suffix for the tpu-side results file")
     ap.add_argument("--init_from", type=str, default="",
                     help="tpu side: initialize params from this ported ckpt")
+    ap.add_argument("--model", choices=["AdaINModel", "BaseModel"],
+                    default="AdaINModel",
+                    help="model family on BOTH sides (reference class name)")
+    ap.add_argument("--concat", action="store_true",
+                    help="use the concat decoder (both sides)")
     cli = ap.parse_args()
     cli.batch_size = CFG["batch_size"]
 
