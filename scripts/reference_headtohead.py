@@ -187,7 +187,24 @@ def run_ref(cli):
     ckpt_dir = os.path.join(cli.out, f"ref_ckpt_{cli.tag}" if cli.tag else "ref_ckpt")
     os.makedirs(ckpt_dir, exist_ok=True)
     args = ref_args(cli, ckpt_dir)
+    if cli.resume_iter:
+        # resume an interrupted ref run via the reference's own mechanism
+        # (reference model.py:41-53): load model+opt ckpt, rebuild schedulers
+        # at last_iter. The data feed is replayed below so the image stream
+        # is identical; torch's global RNG state (noise/z draws) is NOT
+        # replayable, so the post-resume draws differ — same class of
+        # variation as a fresh seed, acceptable for a GAN quality trend.
+        args.resume = os.path.join(ckpt_dir, f"model_{cli.resume_iter}.ckpt")
+        args.resume_opt = os.path.join(ckpt_dir, f"opt_{cli.resume_iter}.ckpt")
+        args.last_iter = cli.resume_iter
     model = getattr(ref_models, cli.model)(args)
+    if cli.resume_iter:
+        # torch>=2 LambdaLR(last_epoch>=0) demands 'initial_lr' in the param
+        # groups; the reference was written for torch 1.9 where resume worked
+        # without it. The base lr is the pre-decay lr (decay starts iters/2).
+        for opt in model.optimizer:
+            for g in model.optimizer[opt].param_groups:
+                g.setdefault("initial_lr", g["lr"])
     model.initialize()
 
     feed_args = types.SimpleNamespace(
@@ -196,8 +213,14 @@ def run_ref(cli):
         batch_size=cli.batch_size, num_domains=4, select_domains=None,
     )
     feed = data_feed(feed_args, seed=cli.seed)
+    start_it = 1
+    if cli.resume_iter:
+        for _ in range(cli.resume_iter):  # replay the data stream exactly
+            next(feed)
+        start_it = cli.resume_iter + 1
+        print(f"[ref] resumed at iter {cli.resume_iter}", flush=True)
     times, rows = [], []
-    for it in range(1, cli.iters + 1):
+    for it in range(start_it, cli.iters + 1):
         batch = next(feed)
         tb = {
             k: torch.from_numpy(
@@ -392,6 +415,8 @@ def main():
                     help="tpu-side compute dtype (the ref side is f32 torch)")
     ap.add_argument("--tag", type=str, default="",
                     help="suffix for the tpu-side results file")
+    ap.add_argument("--resume_iter", type=int, default=0,
+                    help="ref side: resume from ref_ckpt_*/model_{N}.ckpt")
     ap.add_argument("--init_from", type=str, default="",
                     help="tpu side: initialize params from this ported ckpt")
     ap.add_argument("--model", choices=["AdaINModel", "BaseModel"],
