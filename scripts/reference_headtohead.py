@@ -162,7 +162,9 @@ def ref_args(cli, ckpt_dir):
         use_dropout=False, mode="train", ms_dis=False, dis_norm=None,
         dis_sn=False, crop_size=cli.size, use_dis_content=False,
         use_ragan=False, vgg_loss=None, logdir=os.path.join(cli.out, "ref_logs"),
-        reparam=True, concat=cli.concat, num_scales=3, d_iter=3,
+        # getattr: callers outside this CLI (scripts/diag_init_stats.py)
+        # build a minimal namespace without the --concat flag
+        reparam=True, concat=getattr(cli, "concat", False), num_scales=3, d_iter=3,
         resume=None, resume_opt=None, init_type="normal", init_gain=0.02,
         gpu_ids=[], last_iter=-1, lr_policy="lambda",
         n_iters=cli.iters, n_iter_decay=cli.iters // 2,
@@ -298,7 +300,9 @@ def run_tpu(cli):
     from masterthesis_tpu.models import AdaINModel, BaseModel
 
     model_cls = {"AdaINModel": AdaINModel, "BaseModel": BaseModel}[cli.model]
-    ckpt_dir = os.path.join(cli.out, "tpu_ckpt")
+    # per-tag like the ref side: multi-seed runs must not clobber each
+    # other's params_{it}.npz (diag_domain_stats.py reads these post-hoc)
+    ckpt_dir = os.path.join(cli.out, f"tpu_ckpt_{cli.tag}" if cli.tag else "tpu_ckpt")
     os.makedirs(ckpt_dir, exist_ok=True)
     targs = default_train_args(
         dataroot=os.path.join(cli.out, "data"),
