@@ -395,11 +395,7 @@ class ConvTranspose2d(nn.Module):
             )
         if pending is not None:
             # deferred affine not consumed by an int8 kernel: apply inline
-            x = x.astype(jnp.float32) * pending["scale"][:, None, None, :]
-            x = x + pending["shift"][:, None, None, :]
-            if pending.get("relu"):
-                x = jnp.maximum(x, 0.0)
-            x = x.astype(self.dtype)
+            x = apply_pending(x, pending, self.dtype)
         import os
 
         use_subpixel = os.environ.get("MT_SUBPIXEL_UP") == "1"
@@ -436,11 +432,7 @@ class ConvTranspose2d(nn.Module):
             raise ValueError("packed input is only supported by the 1x1 head")
         c = kernel.shape[2]
         co = self.features
-        y = x.astype(jnp.float32) * pending["scale"][:, None, None, :]
-        y = y + pending["shift"][:, None, None, :]
-        if pending.get("relu"):
-            y = jnp.maximum(y, 0.0)
-        y = y.astype(self.dtype)
+        y = apply_pending(x, pending, self.dtype)
         w = kernel[0, 0]  # (C, out)
         w2 = jnp.zeros((2 * c, 2 * co), kernel.dtype)
         w2 = w2.at[:c, :co].set(w).at[c:, co:].set(w)
@@ -599,11 +591,7 @@ class UpsampleBlock(nn.Module):
         if pending is not None and "transpose" not in self.up_type:
             # deferred affine from a previous serving block; this up type
             # has no fused consumer — apply it inline
-            x = x.astype(jnp.float32) * pending["scale"][:, None, None, :]
-            x = x + pending["shift"][:, None, None, :]
-            if pending.get("relu"):
-                x = jnp.maximum(x, 0.0)
-            x = x.astype(self.dtype)
+            x = apply_pending(x, pending, self.dtype)
             pending = None
         if "transpose" in self.up_type:
             # int8 serving: ask the deconv kernel for in-kernel (sum, sumsq)

@@ -208,13 +208,18 @@ class _DecoderTail(nn.Module):
         # when the deconv's quant path fires): each up block defers its
         # LayerNorm+relu into the next kernel's prologue, and the last block
         # hands its lane-packed output straight to the packed-aware 1x1 head
+        # the defer/packed chain is only valid for the LayerNorm+relu tail
+        # (the deconv kernel's in-kernel stats are per-(sample) LN totals and
+        # the packed layout's only unpack-aware consumers assume it); other
+        # --dec_norm / activation choices serve int8 with unfused norms
+        fusible = transpose and self.norm == "layer" and self.activation in ("relu", None)
         pending = None
         for i in range(self.num_ups):
             out = UpsampleBlock(
                 d // 2, 3, 2, 1, 1, use_bias=self.use_bias, norm=self.norm,
                 activation=self.activation, up_type=self.up_type,
-                defer_norm=transpose,
-                allow_packed=transpose and i == self.num_ups - 1,
+                defer_norm=fusible,
+                allow_packed=fusible and i == self.num_ups - 1,
                 name=f"up{i}", **common,
             )(h, pending=pending)
             h, pending = out if isinstance(out, tuple) else (out, None)

@@ -9,6 +9,9 @@
     -> benchmarks/headtohead_r3.json  (all sides keyed by run tag)
 
 Idempotent; run whenever a background run finishes to refresh the files.
+Merges with what benchmarks/ already holds: /tmp run dirs are wiped between
+sessions, so a fresh aggregate must never drop evidence that only survives
+in the committed JSON (new runs with the same key win).
 """
 from __future__ import annotations
 
@@ -21,8 +24,16 @@ QT_DIR = "/tmp/quality_trend_r3"
 H2H_DIR = "/tmp/headtohead"
 
 
+def _load_existing(dst, key):
+    if os.path.exists(dst):
+        with open(dst) as f:
+            return json.load(f).get(key, {})
+    return {}
+
+
 def aggregate_quality_trend():
-    runs = {}
+    dst = os.path.join(REPO, "benchmarks", "quality_trend_r3.json")
+    runs = _load_existing(dst, "runs")
     for path in sorted(glob.glob(os.path.join(QT_DIR, "trend_exp_*.json"))):
         name = os.path.basename(path)[len("trend_exp_"):-len(".json")]
         with open(path) as f:
@@ -43,7 +54,6 @@ def aggregate_quality_trend():
             "final_iter": final_it,
         }
     out = {"summary": summary, "runs": runs}
-    dst = os.path.join(REPO, "benchmarks", "quality_trend_r3.json")
     with open(dst, "w") as f:
         json.dump(out, f, indent=1)
     print("wrote", dst)
@@ -53,7 +63,8 @@ def aggregate_quality_trend():
 
 
 def aggregate_headtohead():
-    sides = {}
+    dst = os.path.join(REPO, "benchmarks", "headtohead_r3.json")
+    sides = _load_existing(dst, "headtohead")
     for prefix in ("ref", "tpu"):
         for path in sorted(glob.glob(os.path.join(H2H_DIR, f"{prefix}_results*.json"))):
             key = os.path.basename(path)[:-len(".json")].replace("_results", "")
@@ -62,7 +73,6 @@ def aggregate_headtohead():
     if not sides:
         print("no head-to-head runs found yet")
         return
-    dst = os.path.join(REPO, "benchmarks", "headtohead_r3.json")
     with open(dst, "w") as f:
         json.dump({"headtohead": sides}, f, indent=1)
     print("wrote", dst)

@@ -388,7 +388,12 @@ def run_tpu(cli):
 def run_report(cli):
     import glob as _glob
 
+    # merge with the committed file: /tmp run dirs are wiped between
+    # sessions, so a fresh report must not drop runs that only survive there
     sides = {}
+    if os.path.exists("benchmarks/headtohead_r3.json"):
+        with open("benchmarks/headtohead_r3.json") as f:
+            sides = json.load(f).get("headtohead", {})
     for path in sorted(_glob.glob(os.path.join(cli.out, "ref_results*.json"))):
         key = os.path.basename(path)[: -len(".json")]
         key = "ref" if key == "ref_results" else key.replace("ref_results_", "ref_")

@@ -70,3 +70,23 @@ def test_calibration_does_not_change_float_outputs():
     )
     np.testing.assert_array_equal(np.asarray(z_c_plain), np.asarray(z_c_calib))
     assert jax.tree.leaves(col["calib"])
+
+
+def test_quantized_forward_with_instance_dec_norm():
+    """--dec_norm instance must serve int8 without the LayerNorm defer/packed
+    chain (regression: the packed deconv layout used to leak into the
+    InstanceNorm + 1x1 head and crash with a param-shape error)."""
+    args = tiny_train_args(mode="test", batch_size=2, dec_norm="instance")
+    m = AdaINModel(args)
+    state = m.initialize()
+    img = make_batch(b=2)["x1"]
+    rng = jax.random.PRNGKey(11)
+    z = m.get_z_random(rng, 2)
+    c = jax.nn.one_hot(jnp.arange(2) % args.num_domains, args.num_domains)
+    ref = np.asarray(m._forward_random_jit(state.params, img, z, c), np.float32)
+    m.calibrate_int8(state, [img])
+    q = np.asarray(m._forward_random_jit(state.params, img, z, c), np.float32)
+    assert q.shape == ref.shape
+    mse = float(np.mean((q - ref) ** 2))
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
+    assert psnr > 25.0, f"int8 with instance dec_norm degraded: PSNR={psnr:.1f} dB"
