@@ -11,7 +11,7 @@ N REAL optimizer iterations in lockstep and reports, per iteration:
 
 Divergence localizes the first bad gradient to a (net, iteration).
 
-Run: python scripts/dynamics_probe.py [--iters 6]
+Run: python scripts/dynamics_probe.py [--iters 6] [--model BaseModel --concat]
 """
 from __future__ import annotations
 
@@ -50,6 +50,9 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--iters", type=int, default=6)
     ap.add_argument("--lr", type=float, default=1e-4)
+    ap.add_argument("--model", choices=["AdaINModel", "BaseModel"],
+                    default="AdaINModel")
+    ap.add_argument("--concat", action="store_true")
     cli = ap.parse_args()
 
     import jax
@@ -72,13 +75,13 @@ def main():
         beta2=0.999, wd=1e-4, gan_mode="vanilla", use_ragan=False,
         vgg_loss=None, logdir="/tmp/probe_logs", batch_size=B,
         lambda_cls=1.0, lambda_cls_G=5.0, lambda_rec=10.0,
-        reparam=True, concat=False, num_scales=3, d_iter=3,
+        reparam=True, concat=cli.concat, num_scales=3, d_iter=3,
         resume=None, resume_opt=None, init_type="normal", init_gain=0.02,
         gpu_ids=[], last_iter=-1, lr_policy="lambda",
         n_iters=10_000, n_iter_decay=10_000, checkpoint_dir="/tmp/probe_ckpt",
     )
     torch.manual_seed(42)
-    ref = ref_models.AdaINModel(args)
+    ref = getattr(ref_models, cli.model)(args)
     ref.initialize()
 
     # determinism: identity noise, mu-only reparam, injected z sequence
@@ -104,19 +107,19 @@ def main():
     # ---- our side: same weights ---------------------------------------- #
     import jax.numpy as jnp
 
+    import masterthesis_tpu.models as my_models
     from masterthesis_tpu.arguments import default_train_args
-    from masterthesis_tpu.models import AdaINModel
     from masterthesis_tpu.models.functions import apply_updates
     from masterthesis_tpu.models.translation import GEN_NETS
     from masterthesis_tpu.tools.port_reference import import_net_params
 
     targs = default_train_args(
         dim=DIM, latent_dim=LAT, num_domains=DOM, crop_size=H, batch_size=B,
-        mode="train", gan_mode="vanilla", reparam=True, concat=False,
+        mode="train", gan_mode="vanilla", reparam=True, concat=cli.concat,
         use_dis_content=False, lambda_cls=1.0, lambda_cls_G=5.0,
         lambda_rec=10.0, compute_dtype="float32", logdir=None,
     )
-    mine = AdaINModel(targs)
+    mine = getattr(my_models, cli.model)(targs)
     state = mine.initialize()
     params = {
         name: import_net_params(mine.nets[name], ref.model[name].state_dict())
