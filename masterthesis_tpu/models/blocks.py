@@ -181,12 +181,26 @@ class Conv2d(nn.Module):
     param_dtype: Dtype = jnp.float32
 
     def _int8_eligible(self, x) -> bool:
-        # shape-level pallas eligibility is decided inside int8_conv3x3
-        # (small-channel convs fall back to the exact jnp int8 path).
         if self.kernel_size != 3 or self.padding != 1 or self.sn:
             return False
         if self.stride == 1:
-            return True
+            # On TPU, int8 only pays through the Pallas kernel (as-is or
+            # channel-lane-padded); XLA's own int8 conv path measured SLOWER
+            # than bf16 (quantize / s32-materialize / dequant are separate
+            # HBM passes), so off-kernel shapes stay bf16. Off-TPU the exact
+            # jnp int8 fallback is fine (tests/mesh dryrun).
+            import jax as _jax
+
+            from masterthesis_tpu.ops.pallas.conv_int8 import (
+                conv3x3_eligible,
+                conv3x3_pad_eligible,
+            )
+
+            return (
+                _jax.default_backend() != "tpu"
+                or conv3x3_eligible(x, self.features)
+                or conv3x3_pad_eligible(x, self.features)
+            )
         if self.stride == 2:
             # stride-2 int8 is only worth it through the Pallas column-packed
             # kernel (ops/pallas/conv_int8.py pallas_int8_downconv). XLA's own
@@ -371,7 +385,18 @@ class ConvTranspose2d(nn.Module):
                 init_fn=lambda: jnp.zeros((), jnp.float32),
                 reduce_fn=jnp.maximum,
             )
-        if self.has_variable("quant", "amax_in") and is_up3 and not self.sn:
+        # On TPU, int8 deconv only pays through the Pallas sub-pixel kernel;
+        # lane-misaligned shapes (BaseModel DecoderConcat tail: 276->138,
+        # 146->73) stay bf16 rather than hitting the slow XLA int8 path.
+        # Off-TPU the exact jnp fallback serves the tests.
+        import jax as _jax
+
+        deconv_ok = True
+        if is_up3 and _jax.default_backend() == "tpu":
+            from masterthesis_tpu.ops.pallas.conv_int8 import deconv_eligible
+
+            deconv_ok = deconv_eligible(x, self.features)
+        if self.has_variable("quant", "amax_in") and is_up3 and not self.sn and deconv_ok:
             from masterthesis_tpu.ops.pallas.conv_int8 import int8_deconv
 
             amax = self.variable("quant", "amax_in", lambda: None).value
@@ -773,12 +798,15 @@ class ResnetBlock(nn.Module):
 
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
+        from masterthesis_tpu.ops.pallas.conv_int8 import resblock_serving_profitable
+
         q = self.variables.get("quant", {})
         if (
             _int8_block_serving(q)
             and self.norm == "instance"
             and self.activation == "relu"
             and not self.dropout
+            and resblock_serving_profitable(x)
         ):
             return self._serving_int8(x, q)
         common = dict(
@@ -851,12 +879,14 @@ class AdaINResnetBlock(nn.Module):
     @nn.compact
     def __call__(self, x, z, deterministic: bool = True):
         from masterthesis_tpu.ops.norms import AdaptiveInstanceNorm
+        from masterthesis_tpu.ops.pallas.conv_int8 import resblock_serving_profitable
 
         q = self.variables.get("quant", {})
         if (
             _int8_block_serving(q)
             and self.activation in ("relu", None)
             and not self.dropout
+            and resblock_serving_profitable(x)
         ):
             return self._serving_int8(x, z, q)
         common = dict(

@@ -276,6 +276,10 @@ def pallas_int8_conv3x3(
             bytes_accessed=x.size * x.dtype.itemsize + w_taps.size + b * h * w * c_out * 2,
             transcendentals=0,
         ),
+        # lane-padded shapes (e.g. 384-ch BaseModel resblock convs) exceed the
+        # 16 MB default scoped limit with double-buffered in/out blocks; v5e
+        # has 128 MB physical VMEM per core
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(*operands)
     if with_stats:
@@ -284,19 +288,43 @@ def pallas_int8_conv3x3(
     return result
 
 
+def lane_pad(n: int) -> int:
+    """Zero channels needed to reach the 128-lane width (0 if aligned)."""
+    return (-n) % 128
+
+
+def _conv3x3_fits(h: int, w: int, c: int, features: int) -> bool:
+    """VMEM bounds for the 3x3 kernel (with the raised compiler limit)."""
+    return (
+        h >= 4
+        and w >= 4
+        and h * w * features * 4 <= 9_000_000  # row-chunked acc/out block
+        and (h + 2) * (w + 2) * c <= 5_000_000  # padded int8 scratch
+    )
+
+
 def conv3x3_eligible(x: jnp.ndarray, features: int) -> bool:
-    """Kernel eligibility: lane-aligned channels, VMEM-bounded accumulator."""
+    """Kernel eligibility as-is: lane-aligned channels, VMEM-bounded."""
     if x.ndim != 4:
         return False
-    b, h, w, c = x.shape
-    return (
-        c % 128 == 0
-        and features % 128 == 0
-        and h >= 4
-        and w >= 4
-        and h * w * features * 4 <= 4_500_000  # int32 acc scratch
-        and (h + 2) * (w + 2) * c <= 2_500_000  # padded int8 scratch
-    )
+    _, h, w, c = x.shape
+    return c % 128 == 0 and features % 128 == 0 and _conv3x3_fits(h, w, c, features)
+
+
+def conv3x3_pad_eligible(x: jnp.ndarray, features: int) -> bool:
+    """Eligibility after zero-padding channels to the lane width.
+
+    Zero channel padding is EXACT: padded activation channels quantize to 0
+    and meet zero weight rows; padded output channels have zero weights and a
+    zero dequant scale, and are sliced away. The cost is MXU work on the
+    padded lanes (e.g. 268 -> 384 = 1.43x), still well under the int8 MXU's
+    2x rate advantage — this is what lets the BaseModel DecoderConcat's
+    unaligned channel counts (reference networks.py:300-311: 268/276-ch
+    resblocks) serve on the Pallas int8 path."""
+    if x.ndim != 4:
+        return False
+    _, h, w, c = x.shape
+    return _conv3x3_fits(h, w, c + lane_pad(c), features + lane_pad(features))
 
 
 def int8_conv3x3(
@@ -344,6 +372,31 @@ def int8_conv3x3(
             prologue_relu=prologue_relu, prologue_alpha=prologue_alpha,
             with_stats=with_stats,
         )
+    if stride == 1 and use_pallas and conv3x3_pad_eligible(x, w.shape[-1]):
+        # lane-misaligned channels: zero-pad to the 128-lane width (exact —
+        # see conv3x3_pad_eligible) so unaligned convs keep the Pallas MXU
+        # path instead of the XLA int8 path (measured slower than bf16).
+        c_out = w.shape[-1]
+        cp, cop = lane_pad(x.shape[-1]), lane_pad(c_out)
+        xp = jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp)))
+        wp = jnp.pad(w_q, ((0, 0), (0, 0), (0, cp), (0, cop)))
+        sp = jnp.pad(scale, (0, cop))
+        bp = None if bias32 is None else jnp.pad(bias32, (0, cop))
+        pk_s = pk_b = None
+        if prologue_scale is not None:
+            pk_s = jnp.pad(prologue_scale, ((0, 0), (0, cp)))
+            pk_b = jnp.pad(prologue_shift, ((0, 0), (0, cp)))
+        out = pallas_int8_conv3x3(
+            xp, wp, sp, bp, padding_type, out_dtype,
+            interpret=bool(interpret), inv_act_scale=inv_sx,
+            prologue_scale=pk_s, prologue_shift=pk_b,
+            prologue_relu=prologue_relu, prologue_alpha=prologue_alpha,
+            with_stats=with_stats,
+        )
+        if with_stats:
+            y, s1, s2 = out
+            return y[..., :c_out], s1[:, :c_out], s2[:, :c_out]
+        return out[..., :c_out]
     if stride == 2 and use_pallas and downconv_eligible(x, w.shape[-1]):
         return pallas_int8_downconv(
             x, downconv_weights(w_q), scale, bias32, padding_type, out_dtype,
@@ -915,6 +968,9 @@ def pallas_int8_resblock(
             bytes_accessed=2 * x.size * x.dtype.itemsize + w_taps.size,
             transcendentals=2 * b * c,
         ),
+        # lane-padded 384-ch blocks: x/h1/out blocks + 18 taps exceed the
+        # 16 MB default scoped limit; v5e has 128 MB physical VMEM per core
+        compiler_params=pltpu.CompilerParams(vmem_limit_bytes=64 * 1024 * 1024),
         interpret=interpret,
     )(
         x,
@@ -926,16 +982,40 @@ def pallas_int8_resblock(
     )
 
 
-def resblock_eligible(x: jnp.ndarray) -> bool:
+def _resblock_fits(h: int, w: int, c: int) -> bool:
+    return (
+        h >= 4
+        and w >= 4
+        and h * w * c * 2 <= 4_600_000  # h1 scratch (bf16)
+        and (h + 2) * (w + 2) * c <= 5_000_000
+    )
+
+
+def resblock_eligible(x: jnp.ndarray, padded: bool = False) -> bool:
+    """Mega-kernel eligibility; ``padded``: after lane-padding the channels
+    (zero padding is exact through conv/IN/relu/conv/IN/+residual — padded
+    channels carry 0 through every stage, see conv3x3_pad_eligible)."""
     if x.ndim != 4:
         return False
-    b, h, w, c = x.shape
+    _, h, w, c = x.shape
+    if padded:
+        return _resblock_fits(h, w, c + lane_pad(c))
+    return c % 128 == 0 and _resblock_fits(h, w, c)
+
+
+def resblock_serving_profitable(x: jnp.ndarray) -> bool:
+    """On TPU: some Pallas path (mega-kernel as-is/lane-padded, or chained
+    3x3 kernels) exists for this shape — otherwise int8 would run through
+    XLA's int8 conv path, measured slower than bf16, and the caller should
+    keep the float path. Off-TPU the exact jnp fallback is always fine."""
+    if jax.default_backend() != "tpu":
+        return True
+    c = x.shape[-1] if x.ndim == 4 else 0
     return (
-        c % 128 == 0
-        and h >= 4
-        and w >= 4
-        and h * w * c * 2 <= 2_200_000  # h1 scratch (bf16)
-        and (h + 2) * (w + 2) * c <= 2_500_000
+        resblock_eligible(x)
+        or resblock_eligible(x, padded=True)
+        or conv3x3_eligible(x, c)
+        or conv3x3_pad_eligible(x, c)
     )
 
 
@@ -973,6 +1053,26 @@ def int8_resblock(
             gamma, beta, padding_type, relu_mid, eps, x.dtype,
             interpret=bool(interpret),
         )
+    if use_pallas and resblock_eligible(x, padded=True):
+        # lane-misaligned channels (BaseModel DecoderConcat 268-ch blocks,
+        # reference networks.py:300-304): zero-pad to the lane width, run the
+        # mega-kernel, slice. Exact: padded channels are 0 into conv1, have
+        # zero weights/scales out of both convs, IN of an all-zero channel is
+        # 0 (mean 0, rstd finite, beta 0), and the residual add sees 0 + 0.
+        c = x.shape[-1]
+        cp = lane_pad(c)
+        pad_w = lambda wq: jnp.pad(wq, ((0, 0), (0, 0), (0, cp), (0, cp)))  # noqa: E731
+        y = pallas_int8_resblock(
+            jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp))),
+            pad_w(w1_q), pad_w(w2_q),
+            jnp.pad((amax1 / INT8_MAX) * sw1, (0, cp)),
+            jnp.pad((amax2 / INT8_MAX) * sw2, (0, cp)),
+            INT8_MAX / amax1, INT8_MAX / amax2,
+            jnp.pad(gamma, ((0, 0), (0, cp))), jnp.pad(beta, ((0, 0), (0, cp))),
+            padding_type, relu_mid, eps, x.dtype,
+            interpret=bool(interpret),
+        )
+        return y[..., :c]
     n = x.shape[1] * x.shape[2]
     h1, s1, q1 = int8_conv3x3(
         x, w1, amax1, padding_type=padding_type, out_dtype=x.dtype,
