@@ -224,6 +224,12 @@ class VideoDataset:
     def __len__(self):
         return int(self.cam.get(self._cv2.CAP_PROP_FRAME_COUNT)) - 1
 
+    @property
+    def fps(self) -> float:
+        """Source frame rate (used by the video-output sampler mode)."""
+        fps = float(self.cam.get(self._cv2.CAP_PROP_FPS) or 0.0)
+        return fps if fps > 0 else 25.0
+
     def __getitem__(self, index):
         from PIL import Image
 

@@ -94,7 +94,11 @@ class Sampler:
     # ------------------------------------------------------------------ #
     def _translate_all(self, args, model, state, dataloader, trgs, refs, name_fn):
         """Shared loop for sample/sample_diverse: every batch into every
-        target, one fresh style per target, files named by ``name_fn``."""
+        target, one fresh style per target, files named by ``name_fn``.
+
+        ``--multi_iter N`` (> 0) renders N independently-drawn random styles
+        per target instead of one, suffixing filenames with ``_s<k>`` (the
+        reference parses the flag but never acts on it, arguments.py:130)."""
         rng = jax.random.PRNGKey(getattr(args, "seed", 0))
         if trgs is None:
             trgs = range(args.num_domains)
@@ -102,22 +106,31 @@ class Sampler:
             raise ValueError(
                 f"got {len(refs)} style references for {len(trgs)} targets"
             )
+        multi = int(getattr(args, "multi_iter", 0) or 0)
+        n_styles = max(1, multi)
         for t, trg in enumerate(trgs):
-            rng, key = jax.random.split(rng)
-            style_code = model.get_z_random(key, args.batch_size)
-            for i, batch in enumerate(dataloader):
+            for s in range(n_styles):
+                rng, key = jax.random.split(rng)
+                style_code = model.get_z_random(key, args.batch_size)
+                suffix = f"_s{s}" if multi > 0 else ""
+                for i, batch in enumerate(dataloader):
+                    if refs is not None:
+                        imgs, _, _ = self.translate(
+                            args, model, state, batch, trg, style_path=refs[t], rng=key
+                        )
+                    else:
+                        imgs, _, _ = self.translate(
+                            args, model, state, batch, trg, style_code=style_code
+                        )
+                    names = [name_fn(t, trg, i, j) for j in range(len(imgs))]
+                    if suffix:
+                        names = [
+                            f"{os.path.splitext(n)[0]}{suffix}{os.path.splitext(n)[1]}"
+                            for n in names
+                        ]
+                    save_images(np.asarray(imgs), names)
                 if refs is not None:
-                    imgs, _, _ = self.translate(
-                        args, model, state, batch, trg, style_path=refs[t], rng=key
-                    )
-                else:
-                    imgs, _, _ = self.translate(
-                        args, model, state, batch, trg, style_code=style_code
-                    )
-                save_images(
-                    np.asarray(imgs),
-                    [name_fn(t, trg, i, j) for j in range(len(imgs))],
-                )
+                    break  # reference styles are deterministic; one pass per target
 
     def sample(self, args, model, state, dataloader, trgs=None, refs=None):
         """Per-target translation; outputs under display_dir/<domain-index>/
@@ -179,6 +192,52 @@ class Sampler:
         out = os.path.join(args.display_dir, "grid.png")
         save_image(grid[0], out)
         print(f"grid written to {out}")
+
+    def sample_video(self, args, model, state, dataloader, trgs=None, refs=None):
+        """Translate the input frame stream into one video per target domain.
+
+        Wires ``--out_fmt video`` / ``--vid_fname`` through
+        tools/videoreaders.FrameWriter — the reference imports FrameWriter and
+        parses both flags but never writes a video (reference sample.py:11,
+        arguments.py:126-127); here the flags do what they say. Frames are
+        consumed in stream order with one fixed style per target so the output
+        is temporally coherent."""
+        from masterthesis_tpu.tools.videoreaders import FrameWriter
+        from masterthesis_tpu.utils import tensor_to_image
+
+        rng = jax.random.PRNGKey(getattr(args, "seed", 0))
+        if trgs is None:
+            trgs = range(args.num_domains)
+        if refs is not None and len(refs) != len(trgs):
+            raise ValueError(
+                f"got {len(refs)} style references for {len(trgs)} targets"
+            )
+        fps = float(getattr(dataloader.dataset, "fps", 25.0))
+        root, ext = os.path.splitext(args.vid_fname)
+        with TimerBlock("Translating (video)") as block:
+            for t, trg in enumerate(trgs):
+                rng, key = jax.random.split(rng)
+                style_code = model.get_z_random(key, args.batch_size)
+                fname = f"{root}_{DOMAIN_MAP[trg]}{ext or '.avi'}"
+                writer = FrameWriter(args.display_dir, outfmt="video",
+                                     fname=fname, fps=fps)
+                n = 0
+                for batch in dataloader:
+                    if refs is not None:
+                        imgs, _, _ = self.translate(
+                            args, model, state, batch, trg, style_path=refs[t], rng=key
+                        )
+                    else:
+                        imgs, _, _ = self.translate(
+                            args, model, state, batch, trg, style_code=style_code
+                        )
+                    for frame in np.asarray(imgs):
+                        writer.write(tensor_to_image(frame[None]), n)
+                        n += 1
+                writer.close()
+                block.log(
+                    f"{n} frames -> {os.path.join(args.display_dir, fname)} @ {fps:g} fps"
+                )
 
     def generate_multiple_styles(self, args, model, state, image, trg,
                                  refs: Optional[Sequence[str]] = None, n_samples: int = 4):
@@ -242,6 +301,10 @@ class Sampler:
                 self.generate_multiple_styles(
                     args, model, state, jnp.asarray(batch), args.targets[0], args.reference
                 )
+            elif "video" in getattr(args, "out_fmt", "image"):
+                block.log("Mode: video translation")
+                self.sample_video(args, model, state, dataloader,
+                                  args.targets, args.reference)
             else:
                 block.log("Mode: per-target translation")
                 self.sample(args, model, state, dataloader, args.targets, args.reference)

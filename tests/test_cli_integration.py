@@ -197,3 +197,68 @@ def test_sampler_int8_serving(tmp_path):
     for root, _, files in os.walk(str(tmp_path / "out8")):
         outs += [os.path.join(root, f) for f in files]
     assert any(f.endswith(".jpg") for f in outs)
+
+
+def test_sampler_video_in_video_out(tmp_path):
+    """--out_fmt video on a video input: translated frame stream is written
+    as one .avi per target via FrameWriter (flags the reference parses but
+    never acts on, reference sample.py:11 + arguments.py:126-127)."""
+    import cv2
+
+    from masterthesis_tpu.data.transforms import EvalTransform
+    from masterthesis_tpu.models import AdaINModel
+    from masterthesis_tpu.sample import Sampler
+
+    vid_path = str(tmp_path / "in.avi")
+    writer = cv2.VideoWriter(
+        vid_path, cv2.VideoWriter_fourcc(*"MJPG"), 10.0, (40, 40)
+    )
+    rng_ = np.random.default_rng(0)
+    for _ in range(5):
+        writer.write(rng_.integers(0, 255, (40, 40, 3), dtype=np.uint8))
+    writer.release()
+
+    args = default_test_args(
+        dataroot=vid_path, model=AdaINModel, batch_size=1, num_domains=4,
+        latent_dim=4, dim=8, crop_size=32, num_workers=0,
+        out_fmt="video", vid_fname="clip.avi",
+        display_dir=str(tmp_path / "vids"), result_dir=str(tmp_path / "vids"),
+    )
+    sampler = Sampler()
+    sampler.transforms = EvalTransform(size=(32, 32))
+    model, state = sampler.load_model(args)
+    dataloader = sampler.load_dataset(args)
+    assert dataloader.dataset.fps == 10.0
+    sampler.sample_video(args, model, state, dataloader, trgs=[1])
+    out = os.path.join(str(tmp_path / "vids"), "clip_fog.avi")
+    assert os.path.exists(out)
+    cap = cv2.VideoCapture(out)
+    assert int(cap.get(cv2.CAP_PROP_FRAME_COUNT)) >= 4
+    ok, frame = cap.read()
+    assert ok and frame.shape == (32, 32, 3)
+    cap.release()
+
+
+def test_sampler_multi_iter_styles(tmp_path):
+    """--multi_iter N renders N random styles per target with _s<k> suffixed
+    filenames (reference arguments.py:130 parses the flag but ignores it)."""
+    from masterthesis_tpu.data.transforms import EvalTransform
+    from masterthesis_tpu.models import AdaINModel
+    from masterthesis_tpu.sample import Sampler
+
+    make_image_tree(tmp_path / "data", num_domains=1, per_domain=1, mode="imgs", size=40)
+    args = default_test_args(
+        dataroot=str(tmp_path / "data" / "imgs"), model=AdaINModel, batch_size=1,
+        num_domains=4, latent_dim=4, dim=8, crop_size=32, num_workers=0,
+        multi_iter=2,
+        display_dir=str(tmp_path / "out"), result_dir=str(tmp_path / "out"),
+    )
+    sampler = Sampler()
+    sampler.transforms = EvalTransform(size=(32, 32))
+    model, state = sampler.load_model(args)
+    dataloader = sampler.load_dataset(args)
+    sampler.sample(args, model, state, dataloader, trgs=[1])
+    outs = []
+    for root, _, files in os.walk(str(tmp_path / "out")):
+        outs += [f for f in files]
+    assert "image0_0_0_s0.jpg" in outs and "image0_0_0_s1.jpg" in outs
