@@ -76,16 +76,36 @@ class Sampler:
         return jnp.asarray(np.repeat(arr[None], args.batch_size, axis=0))
 
     def translate(self, args, model, state, batch, target: int,
-                  style_path: Optional[str] = None, style_code=None, rng=None):
+                  style_path: Optional[str] = None, style_code=None, rng=None,
+                  sync: bool = True):
         """One jitted translation of ``batch`` into ``target``; style comes
         from a reference image (style_path) or a latent code (style_code).
         Returns (images, seconds, device_GB) like the reference's timed
-        forwards (base_model.py:112-128)."""
+        forwards (base_model.py:112-128).
+
+        ``sync=False`` skips the per-call device sync (timing reads 0): the
+        call only ENQUEUES work and returns the device array, letting the
+        batch loop pipeline dispatch k+1 against compute/readback of batch k
+        (TPU executes in order, so a later materialization sees completed
+        results)."""
         c_trg = _one_hot(target, args.num_domains, args.batch_size)
+        params = state.params if hasattr(state, "params") else state
         if style_path is not None:
             ref_img = self._style_image(args, style_path)
+            if not sync:
+                if rng is None:
+                    rng = jax.random.PRNGKey(0)
+                out = model._forward_reference_jit(
+                    params, jnp.asarray(batch), ref_img, c_trg, rng
+                )
+                return out, 0.0, 0.0
             return model.forward_reference(state, jnp.asarray(batch), ref_img, c_trg, rng)
         if style_code is not None:
+            if not sync:
+                out = model._forward_random_jit(
+                    params, jnp.asarray(batch), style_code, c_trg
+                )
+                return out, 0.0, 0.0
             return model.forward_random(state, jnp.asarray(batch), style_code, c_trg)
         raise ValueError("provide a style reference image or a latent style code")
 
@@ -108,6 +128,10 @@ class Sampler:
             )
         multi = int(getattr(args, "multi_iter", 0) or 0)
         n_styles = max(1, multi)
+        # one-deep pipeline: translate(sync=False) only enqueues, so batch
+        # k+1's device work is dispatched before batch k is pulled to host
+        # and JPEG-encoded — compute overlaps readback+encode throughout.
+        pending = None
         for t, trg in enumerate(trgs):
             for s in range(n_styles):
                 rng, key = jax.random.split(rng)
@@ -116,11 +140,13 @@ class Sampler:
                 for i, batch in enumerate(dataloader):
                     if refs is not None:
                         imgs, _, _ = self.translate(
-                            args, model, state, batch, trg, style_path=refs[t], rng=key
+                            args, model, state, batch, trg,
+                            style_path=refs[t], rng=key, sync=False,
                         )
                     else:
                         imgs, _, _ = self.translate(
-                            args, model, state, batch, trg, style_code=style_code
+                            args, model, state, batch, trg,
+                            style_code=style_code, sync=False,
                         )
                     names = [name_fn(t, trg, i, j) for j in range(len(imgs))]
                     if suffix:
@@ -128,9 +154,13 @@ class Sampler:
                             f"{os.path.splitext(n)[0]}{suffix}{os.path.splitext(n)[1]}"
                             for n in names
                         ]
-                    save_images(np.asarray(imgs), names)
+                    if pending is not None:
+                        save_images(np.asarray(pending[0]), pending[1])
+                    pending = (imgs, names)
                 if refs is not None:
                     break  # reference styles are deterministic; one pass per target
+        if pending is not None:
+            save_images(np.asarray(pending[0]), pending[1])
 
     def sample(self, args, model, state, dataloader, trgs=None, refs=None):
         """Per-target translation; outputs under display_dir/<domain-index>/
@@ -222,16 +252,25 @@ class Sampler:
                 writer = FrameWriter(args.display_dir, outfmt="video",
                                      fname=fname, fps=fps)
                 n = 0
+                pending = None  # one-deep pipeline (see _translate_all)
                 for batch in dataloader:
                     if refs is not None:
                         imgs, _, _ = self.translate(
-                            args, model, state, batch, trg, style_path=refs[t], rng=key
+                            args, model, state, batch, trg,
+                            style_path=refs[t], rng=key, sync=False,
                         )
                     else:
                         imgs, _, _ = self.translate(
-                            args, model, state, batch, trg, style_code=style_code
+                            args, model, state, batch, trg,
+                            style_code=style_code, sync=False,
                         )
-                    for frame in np.asarray(imgs):
+                    if pending is not None:
+                        for frame in np.asarray(pending):
+                            writer.write(tensor_to_image(frame[None]), n)
+                            n += 1
+                    pending = imgs
+                if pending is not None:
+                    for frame in np.asarray(pending):
                         writer.write(tensor_to_image(frame[None]), n)
                         n += 1
                 writer.close()

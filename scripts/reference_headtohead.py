@@ -391,9 +391,12 @@ def run_report(cli):
     # merge with the committed file: /tmp run dirs are wiped between
     # sessions, so a fresh report must not drop runs that only survive there
     sides = {}
-    if os.path.exists("benchmarks/headtohead_r3.json"):
-        with open("benchmarks/headtohead_r3.json") as f:
-            sides = json.load(f).get("headtohead", {})
+    # seed from the newest committed report so /tmp-only runs are preserved
+    for prior in ("benchmarks/headtohead_r4.json", "benchmarks/headtohead_r3.json"):
+        if os.path.exists(prior):
+            with open(prior) as f:
+                sides = json.load(f).get("headtohead", {})
+            break
     for path in sorted(_glob.glob(os.path.join(cli.out, "ref_results*.json"))):
         key = os.path.basename(path)[: -len(".json")]
         key = "ref" if key == "ref_results" else key.replace("ref_results_", "ref_")
@@ -406,7 +409,7 @@ def run_report(cli):
             sides[key] = json.load(f)
     report = {"headtohead": sides}
     os.makedirs("benchmarks", exist_ok=True)
-    with open("benchmarks/headtohead_r3.json", "w") as f:
+    with open("benchmarks/headtohead_r4.json", "w") as f:
         json.dump(report, f, indent=1)
     print(json.dumps(report, indent=1))
 
