@@ -90,10 +90,63 @@ def main():
             {"metric": f"{dtype} fwd img/s", "value": round(bf16_rate, 2), "unit": "img/s"},
             {"metric": "int8 serving fwd img/s", "value": round(int8_rate, 2), "unit": "img/s"},
             {"metric": "int8-vs-bf16 PSNR (random weights)", "value": round(psnr, 2), "unit": "dB"},
+            *bench_basemodel_serving(on_tpu, size, dtype),
             *bench_train_step(on_tpu, size, dtype),
         ],
     }
     print(json.dumps(result))
+
+
+def bench_basemodel_serving(on_tpu: bool, size: int, dtype: str):
+    """BaseModel (concat) serving throughput — the first config in
+    BASELINE.json's list (reference sample.py on base_model.py:112-117 with
+    DecoderConcat, networks.py:272-333). Its channel counts after the
+    z/domain concats (268, 276, 146, 81) are not 128-lane aligned, so the
+    int8 path rides the lane-padded Pallas kernels (ops/pallas/conv_int8.py
+    conv3x3_pad_eligible): padded to 384/384/256/128 with zeroed weights —
+    exact, and still on the MXU's 2x int8 rate."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from masterthesis_tpu.arguments import default_test_args
+    from masterthesis_tpu.models import BaseModel
+
+    batch = 256 if on_tpu else 4
+    args = default_test_args(
+        crop_size=size, dim=64, latent_dim=8, num_domains=4, batch_size=batch,
+        compute_dtype=dtype, concat=True, reparam=True, logdir=None,
+    )
+    model = BaseModel(args)
+    state = model.initialize()
+    rng = jax.random.PRNGKey(0)
+    img = jax.random.uniform(rng, (batch, size, size, 3), jnp.float32, -1.0, 1.0)
+    z = model.get_z_random(rng, batch)
+    c = jax.nn.one_hot(jnp.zeros((batch,), jnp.int32) + 3, args.num_domains)
+
+    def rate():
+        # re-read the jit each call: calibrate_int8 rebinds it
+        fwd = model._forward_random_jit
+        out = np.asarray(fwd(state.params, img, z, c), np.float32)  # compile
+        iters = 30 if on_tpu else 3
+        start = time.perf_counter()
+        y = None
+        for _ in range(iters):
+            y = fwd(state.params, img, z, c)
+        float(jnp.sum(y.astype(jnp.float32)))
+        return batch * iters / (time.perf_counter() - start), out
+
+    bf16_rate, bf16_out = rate()
+    rows = np.asarray(img[: min(batch, 16)])
+    model.calibrate_int8(state, [b for b in np.array_split(rows, 2) if len(b)])
+    int8_rate, int8_out = rate()
+    mse = float(np.mean((int8_out - bf16_out) ** 2))
+    psnr = 10 * np.log10(4.0 / max(mse, 1e-12))
+    return [
+        {"metric": f"BaseModel(concat) {dtype} fwd img/s", "value": round(bf16_rate, 2), "unit": "img/s"},
+        {"metric": "BaseModel(concat) int8 serving fwd img/s", "value": round(int8_rate, 2), "unit": "img/s"},
+        {"metric": "BaseModel int8-vs-bf16 PSNR (random weights)", "value": round(psnr, 2), "unit": "dB"},
+    ]
 
 
 def bench_train_step(on_tpu: bool, size: int, dtype: str):
