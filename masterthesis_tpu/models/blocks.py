@@ -353,6 +353,10 @@ class ConvTranspose2d(nn.Module):
     # Co is below the 128-lane width — only safe when the consumer is the
     # packed-aware 1x1 head, not another spatial conv
     allow_packed: bool = False
+    # int8 serving, packed 1x1 head only: the parent block's activation
+    # (tanh), applied inside _packed_head (in-kernel on TPU) — the caller
+    # must then skip its own activation
+    fused_activation: Optional[str] = None
     dtype: Dtype = jnp.float32
     param_dtype: Dtype = jnp.float32
 
@@ -457,18 +461,53 @@ class ConvTranspose2d(nn.Module):
             raise ValueError("packed input is only supported by the 1x1 head")
         c = kernel.shape[2]
         co = self.features
-        y = apply_pending(x, pending, self.dtype)
+        b, hh, ww, _ = x.shape
         w = kernel[0, 0]  # (C, out)
         w2 = jnp.zeros((2 * c, 2 * co), kernel.dtype)
         w2 = w2.at[:c, :co].set(w).at[c:, co:].set(w)
-        y = jax.lax.conv_general_dilated(
-            y, w2[None, None].astype(self.dtype), (1, 1), "VALID",
-            dimension_numbers=("NHWC", "HWIO", "NHWC"),
+        bias = (
+            self.param("bias", nn.initializers.zeros, (co,), self.param_dtype)
+            if self.use_bias
+            else None
         )
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (co,), self.param_dtype)
-            y = y + jnp.tile(bias.astype(self.dtype), 2)
-        b, hh, ww, c2 = y.shape
+        import jax as _jax
+
+        from masterthesis_tpu.ops.pallas.conv_int8 import (
+            packed_head_eligible,
+            pallas_packed_head,
+        )
+
+        if (
+            _jax.default_backend() == "tpu"
+            and self.fused_activation in (None, "tanh")
+            and packed_head_eligible(x, 2 * co)
+        ):
+            # ONE Pallas pass: deferred-LN affine + relu + block-diag 1x1
+            # matmul + bias + tanh — replaces the standalone affine pass, the
+            # XLA head conv, and the downstream tanh over a 6-lane (21x
+            # HBM-padded) tensor (~13 -> ~3.5 ms at flagship shapes, r4
+            # device profiles). Emits channel-major (B, 2Co, H2, W) so every
+            # HBM tile is full-lane; one small transpose unpacks it.
+            y = pallas_packed_head(
+                x, pending["scale"], pending["shift"], w2,
+                jnp.tile(bias.astype(jnp.float32), 2) if bias is not None else None,
+                relu=bool(pending.get("relu")),
+                alpha=float(pending.get("alpha", 0.0)),
+                act=self.fused_activation,
+                out_dtype=self.dtype,
+            )
+            y = jnp.moveaxis(y, 1, 3)  # (B, H2, W, 2Co)
+        else:
+            y = apply_pending(x, pending, self.dtype)
+            y = jax.lax.conv_general_dilated(
+                y, w2[None, None].astype(self.dtype), (1, 1), "VALID",
+                dimension_numbers=("NHWC", "HWIO", "NHWC"),
+            )
+            if bias is not None:
+                y = y + jnp.tile(bias.astype(self.dtype), 2)
+            act = get_activation(self.fused_activation)
+            if act is not None:
+                y = act(y)
         return y.reshape(b, hh, 2 * ww, co)
 
 
@@ -624,6 +663,10 @@ class UpsampleBlock(nn.Module):
             # full-output reduction (the f32 relayout copies it forces cost
             # ~23 ms at flagship shapes, r3 device profile)
             want_stats = self.norm == "layer"
+            # packed 1x1 head: the activation is applied inside _packed_head
+            # (fused into the Pallas kernel on TPU) — skip it here
+            packed_in = bool(pending) and bool(pending.get("packed"))
+            act_in_head = packed_in and self.norm is None
             out = ConvTranspose2d(
                 self.features,
                 self.kernel_size,
@@ -633,9 +676,12 @@ class UpsampleBlock(nn.Module):
                 use_bias=self.use_bias,
                 serving_stats=want_stats,
                 allow_packed=self.allow_packed,
+                fused_activation=self.activation if act_in_head else None,
                 name="conv",
                 **common,
             )(x, pending=pending)
+            if act_in_head:
+                return out
             if isinstance(out, tuple):
                 y, s1, s2 = out
                 norm_cls = make_norm(self.norm)

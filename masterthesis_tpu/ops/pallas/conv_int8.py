@@ -1333,3 +1333,139 @@ def downconv_eligible(x: jnp.ndarray, features: int) -> bool:
         and 2 * (h * w * c * 2 + (h // 2) * (w // 2) * features * 2)
         + (h + 1) * (w // 2 + 1) * 2 * c <= 40_000_000
     )
+
+
+# --------------------------------------------------------------------------- #
+# fused decoder head on the lane-packed deconv output
+# --------------------------------------------------------------------------- #
+def pallas_packed_head(
+    x: jnp.ndarray,
+    scale: jnp.ndarray,
+    shift: jnp.ndarray,
+    w2: jnp.ndarray,
+    bias2: Optional[jnp.ndarray] = None,
+    relu: bool = False,
+    alpha: float = 0.0,
+    act: Optional[str] = None,
+    out_dtype=jnp.bfloat16,
+    interpret: bool = False,
+    row_block: Optional[int] = None,
+):
+    """Deferred-LN affine + block-diagonal 1x1 head (+tanh) in ONE pass over
+    the packed tensor.
+
+    The decoder's last upsample emits the lane-packed ``(B, 2H, W, 2C)``
+    layout (``pallas_int8_deconv`` ``packed_out``) with its LayerNorm+relu
+    deferred. The 1x1 tanh head is a plain XLA conv, so the deferred affine
+    ran as a standalone elementwise pass plus the conv (6.5 + 3.1 ms of the
+    122 ms serving forward at 256px/batch 256, r4 device profile). This
+    kernel reads the packed bf16 tensor once and applies affine -> relu ->
+    ``x @ w2`` -> bias -> activation in VMEM: ~2.2 GB moved, ~2.8 ms at HBM
+    speed-of-light.
+
+    Layout note (measured, first attempt): emitting ``(B, H2, W, Co2)`` with
+    Co2=6 puts 6 valid lanes in 128-lane HBM tiles — a 21x-padded 2.1 GB
+    physical write, and any downstream elementwise op (tanh) pays it again
+    (6.5 ms each); Mosaic also rejects the in-kernel row-major refold
+    ``(N, 6) -> (rb, 6, 128)`` ("unsupported shape cast"). The kernel
+    therefore computes the matmul TRANSPOSED — ``acc = w2^T @ y^T`` via a
+    rhs-dim-1 contraction — giving ``(Co2, N)`` which unflattens to the
+    supported full-lane ``(Co2, rb, W)`` (W stays the 128-lane minor dim),
+    and fuses the activation; only ~100 MB leaves the kernel. The caller
+    unpacks with one small XLA transpose.
+
+    x: (B, H2, W, C2) float, the packed deconv output (C2 = 2C lanes).
+    scale/shift: (B, C2) f32 per-(sample, packed-channel) affine.
+    w2: (C2, Co2) block-diagonal head weights (even/odd column halves never
+    mix — built by the caller exactly like the XLA path's).
+    bias2: (Co2,) f32 (the head bias tiled x2), or None. ``act``: None or
+    'tanh', applied in-kernel after bias.
+    Returns (B, Co2, H2, W) ``out_dtype`` — channel-major; the caller's
+    ``moveaxis(1, 3)`` + trailing reshape produce the unpacked
+    (B, H2, 2W, Co).
+    """
+    from jax.experimental import pallas as pl
+    from jax.experimental.pallas import tpu as pltpu
+
+    b, h2, w, c2 = x.shape
+    co2 = w2.shape[-1]
+    if w % 128 != 0:
+        raise ValueError(f"W must be lane-aligned, got {w}")
+    if bias2 is None:
+        bias2 = jnp.zeros((co2,), jnp.float32)
+    if row_block is None:
+        # double-buffered bf16 in block + f32 affine temporaries ~<= 8 MB
+        row_block = next(
+            rb for rb in (64, 32, 16, 8, 4, 2, 1)
+            if h2 % rb == 0 and rb * w * c2 * 6 <= 8_000_000
+        )
+    relu_flag = bool(relu)
+    alpha_f = float(alpha)
+    if act not in (None, "tanh"):
+        raise ValueError(f"unsupported fused head activation: {act}")
+
+    def kern(x_ref, sc_ref, sh_ref, wt_ref, b_ref, o_ref):
+        xb = x_ref[0].astype(jnp.float32)  # (row_block, w, c2)
+        y = xb * sc_ref[0, 0][None, None, :] + sh_ref[0, 0][None, None, :]
+        if relu_flag:
+            y = jnp.maximum(y, alpha_f * y)
+        y = y.astype(x.dtype).reshape(row_block * w, c2)
+        # (co2, c2) x (N, c2)^T -> (co2, N): rhs-dim-1 contraction keeps the
+        # big operand untransposed and the output's minor dim full-lane
+        acc = jax.lax.dot_general(
+            wt_ref[:], y, (((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        acc = acc + b_ref[:]
+        if act == "tanh":
+            acc = jnp.tanh(acc)
+        o_ref[0] = acc.reshape(co2, row_block, w).astype(out_dtype)
+
+    return pl.pallas_call(
+        kern,
+        grid=(b, h2 // row_block),
+        in_specs=[
+            pl.BlockSpec(
+                (1, row_block, w, c2), lambda i, j: (i, j, 0, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec((1, 1, c2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, c2), lambda i, j: (i, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((co2, c2), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((co2, 1), lambda i, j: (0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, co2, row_block, w), lambda i, j: (i, 0, j, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((b, co2, h2, w), out_dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * b * h2 * w * c2 * co2,
+            bytes_accessed=x.size * x.dtype.itemsize
+            + b * h2 * w * co2 * 2 + w2.size * 2,
+            transcendentals=b * h2 * w * co2 if act == "tanh" else 0,
+        ),
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=48 * 1024 * 1024
+        ),
+        interpret=interpret,
+    )(
+        x,
+        scale.astype(jnp.float32).reshape(b, 1, c2),
+        shift.astype(jnp.float32).reshape(b, 1, c2),
+        jnp.transpose(w2.astype(x.dtype)),
+        bias2.astype(jnp.float32).reshape(co2, 1),
+    )
+
+
+def packed_head_eligible(x: jnp.ndarray, co2: int) -> bool:
+    """Kernel eligibility for the fused packed 1x1 head."""
+    if x.ndim != 4:
+        return False
+    _, h2, w, c2 = x.shape
+    return (
+        c2 % 128 == 0
+        and w % 128 == 0
+        and h2 % 2 == 0
+        and w * c2 * 2 * 2 <= 8_000_000
+    )

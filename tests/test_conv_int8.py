@@ -451,3 +451,68 @@ def test_int8_downconv_approximates_float():
     # 9*64-term accumulation: quantization noise ~1% of the output scale
     assert err.max() < 0.08 * out_std, (err.max(), out_std)
     assert err.mean() < 0.015 * out_std, (err.mean(), out_std)
+
+
+# --------------------------------------------------------------------------- #
+# fused packed 1x1 head (deferred-LN affine + block-diag matmul in one pass)
+# --------------------------------------------------------------------------- #
+def test_packed_head_kernel_matches_xla_path():
+    from masterthesis_tpu.ops.pallas.conv_int8 import pallas_packed_head
+
+    k1, k2, k3, k4, k5 = jax.random.split(jax.random.PRNGKey(31), 5)
+    b, h2, w, c = 2, 16, 128, 64
+    co = 3
+    x = (jax.random.normal(k1, (b, h2, w, 2 * c)) * 2.0).astype(jnp.float32)
+    scale = jax.random.uniform(k2, (b, 2 * c), jnp.float32, 0.5, 1.5)
+    shift = jax.random.normal(k3, (b, 2 * c)) * 0.3
+    wk = jax.random.normal(k4, (c, co)) * 0.2
+    bias = jax.random.normal(k5, (co,)) * 0.1
+    w2 = jnp.zeros((2 * c, 2 * co), jnp.float32)
+    w2 = w2.at[:c, :co].set(wk).at[c:, co:].set(wk)
+
+    got = pallas_packed_head(
+        x, scale, shift, w2, jnp.tile(bias, 2), relu=True, alpha=0.0,
+        act="tanh", out_dtype=jnp.float32, interpret=True,
+    )
+    # channel-major full-lane output shape
+    assert got.shape == (b, 2 * co, h2, w)
+    got = jnp.moveaxis(got, 1, 3)
+
+    # reference: the unfused XLA packed path (affine -> 1x1 conv -> bias ->
+    # tanh); the trailing unpack reshape is identical row-major order
+    y = x * scale[:, None, None, :] + shift[:, None, None, :]
+    y = jnp.maximum(y, 0.0)
+    want = jax.lax.conv_general_dilated(
+        y, w2[None, None], (1, 1), "VALID",
+        dimension_numbers=("NHWC", "HWIO", "NHWC"),
+    ) + jnp.tile(bias, 2)
+    want = jnp.tanh(want)
+
+    np.testing.assert_allclose(
+        np.asarray(got.reshape(b, h2, 2 * w, co)),
+        np.asarray(want.reshape(b, h2, 2 * w, co)),
+        rtol=2e-2, atol=2e-2,
+    )
+
+
+def test_packed_head_kernel_lrelu_no_bias_no_act():
+    from masterthesis_tpu.ops.pallas.conv_int8 import pallas_packed_head
+
+    k1, k2, k3, k4 = jax.random.split(jax.random.PRNGKey(32), 4)
+    b, h2, w, c2, co2 = 1, 8, 128, 128, 6
+    x = jax.random.normal(k1, (b, h2, w, c2))
+    scale = jax.random.uniform(k2, (b, c2), jnp.float32, 0.5, 1.5)
+    shift = jax.random.normal(k3, (b, c2)) * 0.2
+    w2 = jax.random.normal(k4, (c2, co2)) * 0.1
+
+    got = pallas_packed_head(
+        x, scale, shift, w2, None, relu=True, alpha=0.2,
+        out_dtype=jnp.float32, interpret=True,
+    )
+    y = x * scale[:, None, None, :] + shift[:, None, None, :]
+    y = jnp.maximum(y, 0.2 * y)
+    want = jnp.einsum("bhwc,cd->bhwd", y, w2)
+    np.testing.assert_allclose(
+        np.asarray(jnp.moveaxis(got, 1, 3)), np.asarray(want),
+        rtol=2e-2, atol=2e-2,
+    )
