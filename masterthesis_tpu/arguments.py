@@ -79,6 +79,21 @@ def _add_base_args(parser: argparse.ArgumentParser):
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize encoder/decoder activations in the"
                              " backward pass (jax.checkpoint) to cut HBM use")
+    parser.add_argument("--int8_train", action="store_true",
+                        help="run the generator's forward convs on the int8 "
+                             "MXU path during training (straight-through bf16 "
+                             "gradients, delayed activation scaling — see "
+                             "ops/qat.py); quality-gated by the head-to-head "
+                             "harness")
+    parser.add_argument("--int8_train_scope", type=str, default="all",
+                        help="--int8_train: which conv kinds run int8 — "
+                             "'all' or a comma list of conv,stride2,deconv. "
+                             "Each Pallas boundary in the gradient graph "
+                             "costs XLA layout copies, so a narrower scope "
+                             "can be faster (see ops/qat.py)")
+    parser.add_argument("--int8_calib_freq", type=int, default=100,
+                        help="--int8_train: refresh the per-conv activation "
+                             "ranges from the current batch every N iterations")
     parser.add_argument("--ckpt_format", type=str, default="msgpack",
                         choices=["msgpack", "orbax"],
                         help="checkpoint backend: single msgpack files "

@@ -253,19 +253,47 @@ class Conv2d(nn.Module):
             from masterthesis_tpu.ops.pallas.conv_int8 import int8_conv3x3
 
             amax = self.variable("quant", "amax_in", lambda: None).value
-            pk = {}
-            if pending is not None:
-                pk = dict(
-                    prologue_scale=pending["scale"],
-                    prologue_shift=pending["shift"],
-                    prologue_relu=bool(pending.get("relu")),
-                    prologue_alpha=float(pending.get("alpha", 0.0)),
-                )
-            return int8_conv3x3(
-                x, kernel, amax, bias,
-                padding_type=self.padding_type or "zero", out_dtype=self.dtype,
-                stride=self.stride, with_stats=self.serving_stats, **pk,
+            from masterthesis_tpu.ops.qat import (
+                int8_conv3x3_ste,
+                qat_scope,
+                qat_trace_mode,
             )
+
+            if qat_trace_mode():
+                # --int8_train: int8 forward, straight-through bf16 backward
+                # routes the generator's forward convs onto the int8 MXU
+                # inside the gradient graph. In-kernel stats are suppressed
+                # (the parent block computes its norm the differentiable way).
+                # Scope-excluded kinds fall through to the plain float conv
+                # (each Pallas boundary costs XLA layout copies — see qat.py).
+                if ("conv" if self.stride == 1 else "stride2") in qat_scope():
+                    return int8_conv3x3_ste(
+                        x, kernel, bias, amax,
+                        padding_type=self.padding_type or "zero",
+                        stride=self.stride, out_dtype=self.dtype,
+                    )
+            elif pending is None and not self.serving_stats:
+                # serving convs without fused prologue/stats: same forward
+                # numerics as the serving kernel, via the STE wrapper
+                return int8_conv3x3_ste(
+                    x, kernel, bias, amax,
+                    padding_type=self.padding_type or "zero",
+                    stride=self.stride, out_dtype=self.dtype,
+                )
+            else:
+                pk = {}
+                if pending is not None:
+                    pk = dict(
+                        prologue_scale=pending["scale"],
+                        prologue_shift=pending["shift"],
+                        prologue_relu=bool(pending.get("relu")),
+                        prologue_alpha=float(pending.get("alpha", 0.0)),
+                    )
+                return int8_conv3x3(
+                    x, kernel, amax, bias,
+                    padding_type=self.padding_type or "zero", out_dtype=self.dtype,
+                    stride=self.stride, with_stats=self.serving_stats, **pk,
+                )
         if pending is not None:
             # deferred affine not consumed by an int8 kernel: apply inline
             x = apply_pending(x, pending, self.dtype)
@@ -400,28 +428,48 @@ class ConvTranspose2d(nn.Module):
             from masterthesis_tpu.ops.pallas.conv_int8 import deconv_eligible
 
             deconv_ok = deconv_eligible(x, self.features)
+        # declared once up front: the QAT scope gate below may fall through to
+        # the float path, which must not re-declare the name (Flax forbids it)
+        bias = (
+            self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+            if self.use_bias
+            else None
+        )
         if self.has_variable("quant", "amax_in") and is_up3 and not self.sn and deconv_ok:
             from masterthesis_tpu.ops.pallas.conv_int8 import int8_deconv
 
             amax = self.variable("quant", "amax_in", lambda: None).value
-            bias = (
-                self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
-                if self.use_bias
-                else None
+            from masterthesis_tpu.ops.qat import (
+                int8_deconv_ste,
+                qat_scope,
+                qat_trace_mode,
             )
-            pk = {}
-            if pending is not None:
-                # previous block's deferred LN+relu -> fused kernel prologue
-                pk = dict(
-                    prologue_scale=pending["scale"],
-                    prologue_shift=pending["shift"],
-                    prologue_relu=bool(pending.get("relu")),
+
+            if qat_trace_mode():
+                # --int8_train: int8 sub-pixel forward, straight-through bf16
+                # backward; stats and the packed layout are serving-only and
+                # suppressed under QAT. Scope-excluded deconvs fall through
+                # to the float path (see qat.py on the layout-copy tax).
+                if "deconv" in qat_scope():
+                    return int8_deconv_ste(
+                        x, kernel, bias, amax, out_dtype=self.dtype
+                    )
+            elif pending is None and not self.serving_stats and not self.allow_packed:
+                return int8_deconv_ste(x, kernel, bias, amax, out_dtype=self.dtype)
+            else:
+                pk = {}
+                if pending is not None:
+                    # previous block's deferred LN+relu -> fused kernel prologue
+                    pk = dict(
+                        prologue_scale=pending["scale"],
+                        prologue_shift=pending["shift"],
+                        prologue_relu=bool(pending.get("relu")),
+                    )
+                return int8_deconv(
+                    x, kernel, amax, bias, out_dtype=self.dtype,
+                    with_stats=self.serving_stats, packed_out=self.allow_packed,
+                    **pk,
                 )
-            return int8_deconv(
-                x, kernel, amax, bias, out_dtype=self.dtype,
-                with_stats=self.serving_stats, packed_out=self.allow_packed,
-                **pk,
-            )
         if pending is not None:
             # deferred affine not consumed by an int8 kernel: apply inline
             x = apply_pending(x, pending, self.dtype)
@@ -443,8 +491,7 @@ class ConvTranspose2d(nn.Module):
                 padding=((lo, hi), (lo, hi)),
                 dimension_numbers=("NHWC", "HWIO", "NHWC"),
             )
-        if self.use_bias:
-            bias = self.param("bias", nn.initializers.zeros, (self.features,), self.param_dtype)
+        if bias is not None:
             y = y + bias.astype(self.dtype)
         return y
 
@@ -803,7 +850,16 @@ class DownResnetBlock(nn.Module):
 
 
 def _int8_block_serving(q) -> bool:
-    """Whether a resblock should take the fused int8 serving path."""
+    """Whether a resblock should take the fused int8 serving path.
+
+    Never under a QAT (--int8_train) trace: the whole-block kernel is
+    non-differentiable; under QAT the block decomposes into ConvBlocks whose
+    Conv2d children route through the straight-through int8 wrappers.
+    """
+    from masterthesis_tpu.ops.qat import qat_trace_mode
+
+    if qat_trace_mode():
+        return False
     try:
         return bool(q) and "conv1" in q and "conv2" in q
     except Exception:

@@ -72,6 +72,19 @@ class TranslationModel(Model):
         )
         self._main_step = jax.jit(step_impl, donate_argnums=0)
         self._content_step = jax.jit(self._content_step_impl, donate_argnums=0)
+        # --int8_train state (see calibrate_quant_train / ops/qat.py)
+        self._step_quant = None
+        self._train_quant = None
+        self._calib_pass = None
+        if getattr(args, "int8_train", False):
+            if getattr(args, "remat", False):
+                raise ValueError(
+                    "--int8_train is incompatible with --remat: the remat step "
+                    "bypasses the quant plumbing (and remat measured slower anyway)"
+                )
+            from masterthesis_tpu.ops.qat import set_qat_scope
+
+            set_qat_scope(getattr(args, "int8_train_scope", "all"))
         self._forward_jit = jax.jit(self._forward_impl)
         self._forward_random_jit = jax.jit(self._forward_random_impl)
         self._forward_reference_jit = jax.jit(self._forward_reference_impl)
@@ -100,10 +113,16 @@ class TranslationModel(Model):
         variables = {"params": params[name]}
         if extra is not None and extra.get(name):
             variables["spectral"] = extra[name]
-        # int8 serving: only the inference _forward_*_impl paths pass
-        # quant=True — the non-differentiable int8 convs must never be traced
-        # into a training/gradient graph, regardless of jit trace order.
-        quant_cols = getattr(self, "quant_cols", None) if quant else None
+        # int8 routing: quant=True is the SERVING path (self.quant_cols,
+        # baked constants, non-differentiable kernels allowed); quant="train"
+        # is the QAT path (--int8_train) — the amax tree arrives as a dynamic
+        # jit argument via self._step_quant and only the straight-through
+        # (differentiable) convs may engage (blocks.py routes quant convs
+        # without fused prologue/stats through ops/qat.py).
+        if quant == "train":
+            quant_cols = getattr(self, "_step_quant", None)
+        else:
+            quant_cols = getattr(self, "quant_cols", None) if quant else None
         if quant_cols and quant_cols.get(name):
             # eligible convs route through the Pallas int8 kernel
             variables["quant"] = quant_cols[name]
@@ -116,6 +135,9 @@ class TranslationModel(Model):
 
     def encode_content(self, params, extra, img, rng=None, train=False, quant=False):
         rngs = {"noise": rng} if (train and rng is not None) else None
+        if train and getattr(self, "_step_quant", None) is not None:
+            # --int8_train: the step installed a dynamic amax tree
+            quant = "train"
         if train and getattr(self.args, "remat", False):
             # rematerialize encoder activations in the backward pass
             # (jax.checkpoint: trade FLOPs for HBM at high resolution)
@@ -126,7 +148,9 @@ class TranslationModel(Model):
                 return net.apply({"params": p}, x, deterministic=False, rngs=rr)
 
             return jax.checkpoint(run)(params["content_encoder"], img, rng)
-        serving = bool(quant) and bool(
+        # the deferred-norm/packed serving chain is inference-only (its
+        # kernels are non-differentiable) — never enabled under QAT
+        serving = quant is True and bool(
             (getattr(self, "quant_cols", None) or {}).get("content_encoder")
         )
         return self._apply(
@@ -148,6 +172,8 @@ class TranslationModel(Model):
 
     def decode(self, params, z_c, z, c, rng=None, train=False, quant=False):
         rngs = None
+        if train and getattr(self, "_step_quant", None) is not None:
+            quant = "train"  # --int8_train (see encode_content)
         use_dropout = getattr(self.args, "use_dropout", False)
         if train and rng is not None and use_dropout:
             rngs = {"dropout": rng}
@@ -250,6 +276,60 @@ class TranslationModel(Model):
         self._forward_jit = jax.jit(self._forward_impl)
         self._forward_random_jit = jax.jit(self._forward_random_impl)
         self._forward_reference_jit = jax.jit(self._forward_reference_impl)
+
+    # ------------------------------------------------------------------ #
+    # int8 training (QAT with delayed activation scaling)
+    # ------------------------------------------------------------------ #
+    def calibrate_quant_train(self, state, batch, rng=None):
+        """Refresh the --int8_train activation ranges from a recent batch.
+
+        Delayed scaling: the per-conv amax trees are measured on the current
+        params/batch every ``--int8_calib_freq`` iterations (train.py) and
+        consumed by the train step as DYNAMIC jit inputs, so a refresh never
+        recompiles. One persistent jitted calibration pass (content-encoder +
+        decoder forward with the ``calib`` collection mutable) is reused
+        across refreshes — same structure, new values.
+        """
+        from masterthesis_tpu.models.quantize import extract_amax
+
+        if rng is None:
+            rng = jax.random.PRNGKey(int(jax.device_get(state.step)))
+        if isinstance(batch, dict):
+            img = batch.get("x1", batch.get("x"))
+        else:
+            img = batch
+        img = jnp.asarray(img)
+        if getattr(self, "_calib_pass", None) is None:
+
+            @jax.jit
+            def calib_pass(params, img, z, c):
+                z_c, cal_e = self.nets["content_encoder"].apply(
+                    {"params": params["content_encoder"]},
+                    img, deterministic=True, mutable=["calib"],
+                )
+                _, cal_d = self.nets["decoder"].apply(
+                    {"params": params["decoder"]},
+                    z_c, z, c, deterministic=True, mutable=["calib"],
+                )
+                return cal_e.get("calib", {}), cal_d.get("calib", {})
+
+            self._calib_pass = calib_pass
+        b = img.shape[0]
+        kz, kc = jax.random.split(rng)
+        c = jax.nn.one_hot(
+            jax.random.randint(kc, (b,), 0, int(self.args.num_domains)),
+            int(self.args.num_domains),
+        )
+        cal_e, cal_d = self._calib_pass(state.params, img, self.get_z_random(kz, b), c)
+        self._train_quant = {
+            "content_encoder": extract_amax(cal_e),
+            "decoder": extract_amax(cal_d),
+        }
+        return self._train_quant
+
+    def disable_int8_train(self):
+        """Back to plain bf16 training steps."""
+        self._train_quant = None
 
     # ------------------------------------------------------------------ #
     # loss pieces
@@ -532,7 +612,33 @@ class TranslationModel(Model):
         logs.update({f"{prefix}_{k}": v for k, v in d_logs.items()})
         logs.update(d_logs)  # reference keys: last write (d2) wins
 
-    def _main_step_fused_impl(self, state: TrainState, batch, rng, aux_params):
+    def _with_qat(self, quant, fn, *args):
+        """Run a step body, optionally under QAT (--int8_train).
+
+        ``quant``: None (plain bf16 trace) or the per-net amax tree from
+        ``calibrate_quant_train`` — a DYNAMIC jit argument, so refreshing the
+        calibration never recompiles. While set, encode_content/decode route
+        eligible convs through the straight-through int8 wrappers
+        (ops/qat.py) and the serving-only defer/packed chains stay off.
+        """
+        if quant is None:
+            return fn(*args)
+        from masterthesis_tpu.ops.qat import qat_trace
+
+        self._step_quant = quant
+        try:
+            with qat_trace():
+                return fn(*args)
+        finally:
+            self._step_quant = None
+
+    def _main_step_fused_impl(self, state: TrainState, batch, rng, aux_params,
+                              quant=None):
+        return self._with_qat(
+            quant, self._main_step_fused_body, state, batch, rng, aux_params
+        )
+
+    def _main_step_fused_body(self, state: TrainState, batch, rng, aux_params):
         """Fused iteration (``--gan_step fused``): the D updates reuse the
         G-phase forwards instead of the separate ``_make_d_fakes`` pass.
 
@@ -637,7 +743,13 @@ class TranslationModel(Model):
             step=state.step + 1, params=params, opt_state=opt_state, extra=extra
         ), logs
 
-    def _main_step_impl(self, state: TrainState, batch, rng, aux_params):
+    def _main_step_impl(self, state: TrainState, batch, rng, aux_params,
+                        quant=None):
+        return self._with_qat(
+            quant, self._main_step_body, state, batch, rng, aux_params
+        )
+
+    def _main_step_body(self, state: TrainState, batch, rng, aux_params):
         a = self.args
         img = jnp.concatenate([batch["x1"], batch["x2"]], axis=0)
         c_org = jnp.concatenate([batch["y1"], batch["y2"]], axis=0).astype(jnp.float32)
@@ -739,6 +851,11 @@ class TranslationModel(Model):
         a = self.args
         if getattr(a, "use_dis_content", False) and global_iter % a.d_iter != 0:
             state, logs = self._content_step(state, batch, rng)
+        elif getattr(self, "_train_quant", None) is not None:
+            # --int8_train: the amax tree rides as a dynamic jit arg
+            state, logs = self._main_step(
+                state, batch, rng, self.perceptual_params, self._train_quant
+            )
         else:
             state, logs = self._main_step(state, batch, rng, self.perceptual_params)
         # keep device arrays: no host sync in the hot loop (unlike the

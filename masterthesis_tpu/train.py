@@ -79,6 +79,13 @@ class Trainer:
                         batch, k, args.load_size, args.crop_size,
                         train=True, no_flip=getattr(args, "no_flip", False),
                     )
+                if (
+                    getattr(args, "int8_train", False)
+                    and global_iter % max(1, args.int8_calib_freq) == 0
+                ):
+                    # delayed scaling: refresh per-conv amax from this batch;
+                    # the step consumes it as a dynamic jit arg (no recompile)
+                    model.calibrate_quant_train(state, batch, rng)
                 state, _ = model.optimize_parameters(state, batch, global_iter, rng)
                 rate = timer.lap(model.loss)
                 if rate is not None:

@@ -43,6 +43,8 @@ def main():
     ap.add_argument("--batch", type=int, default=8)
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--gan_step", choices=["reference", "fused"], default="fused")
+    ap.add_argument("--int8_train", action="store_true",
+                    help="attribute the QAT (--int8_train) step instead")
     ap.add_argument("--iters", type=int, default=4)
     ap.add_argument("--top", type=int, default=20)
     cli = ap.parse_args()
@@ -69,11 +71,15 @@ def main():
     y = jax.nn.one_hot(jnp.arange(cli.batch) % args.num_domains, args.num_domains)
     bd = {"x1": mk(0), "x2": mk(1), "y1": y, "y2": y[::-1]}
 
+    quant = None
+    if cli.int8_train:
+        args.int8_train = True
+        quant = model.calibrate_quant_train(state, bd, jax.random.PRNGKey(9))
     lowered = jax.jit(
         model._main_step_fused_impl if cli.gan_step == "fused"
         else model._main_step_impl,
         donate_argnums=0,
-    ).lower(state, bd, rng, {})
+    ).lower(state, bd, rng, {}, quant)
     compiled = lowered.compile()
     hlo = compiled.as_text()
     print(f"HLO text: {len(hlo) / 1e6:.1f} MB", flush=True)
@@ -105,12 +111,12 @@ def main():
             inst_class[n] = kind
 
     # run a trace
-    st, logs = model._main_step(state, bd, rng, {})
+    st, logs = model._main_step(state, bd, rng, {}, quant)
     float(jnp.asarray(logs["total_g"], jnp.float32))
     td = tempfile.mkdtemp(prefix="attrib_")
     jax.profiler.start_trace(td)
     for i in range(cli.iters):
-        st, logs = model._main_step(st, bd, jax.random.fold_in(rng, i), {})
+        st, logs = model._main_step(st, bd, jax.random.fold_in(rng, i), {}, quant)
     float(jnp.asarray(logs["total_g"], jnp.float32))
     jax.profiler.stop_trace()
 
