@@ -76,6 +76,20 @@ def _add_base_args(parser: argparse.ArgumentParser):
                              "(distribution-equivalent, saves an encode+decode "
                              "per iteration); 'reference' mirrors the "
                              "reference's independent D-phase fakes")
+    parser.add_argument("--fused_resblock", type=str, default="off",
+                        choices=["auto", "off"],
+                        help="route eligible training resblocks (128-lane-"
+                             "aligned channels) through the differentiable "
+                             "whole-block Pallas kernel (forward + analytic-"
+                             "VJP backward as one launch per image each way, "
+                             "ops/pallas/resblock_bf16.py); 'auto' engages on "
+                             "TPU only, numerics pinned vs autodiff in "
+                             "tests/test_resblock_bf16.py. Default off: the "
+                             "kernel wins per-block on the device plane "
+                             "(benchmarks/resblock_micro_r5.json) but at "
+                             "flagship instance counts the full-step compile "
+                             "exhausts this environment's TPU compile service "
+                             "(BASELINE.md round-5 training section)")
     parser.add_argument("--remat", action="store_true",
                         help="rematerialize encoder/decoder activations in the"
                              " backward pass (jax.checkpoint) to cut HBM use")

@@ -85,6 +85,33 @@ def evaluate(args, model, state, num_styles: int = 2):
         # a per-image loop pays the host/relay round trip hundreds of times
         # per domain and was the entire eval wall-clock
         eval_batch = int(getattr(args, "eval_batch", 8) or 8)
+        # raw jitted forward when available: the timed forward_random
+        # wrapper syncs + polls device memory per call, which through the
+        # relay costs ~0.5 s/call
+        fwd = getattr(model, "_forward_random_jit", None)
+
+        def consume(p):
+            """Pull a dispatched chunk to host and score it. Called one
+            chunk LATE (one-deep pipeline, like sample.py's loop): the
+            device computes chunk k while the host loads/scores k-1, so
+            neither plane idles waiting for the other."""
+            outs = [np.asarray(o, np.float32) for o in p["outs"]]
+            if getattr(args, "save_visuals", False):
+                for s in range(num_styles):
+                    names = [
+                        os.path.join(
+                            args.display_dir, domain, f"{p['start'] + j}_{s}.jpg"
+                        )
+                        for j in range(p["bsz"])
+                    ]
+                    save_images(outs[s], names)
+            # FID update: both sides mapped [-1,1] -> [0,1] (TrainTransform
+            # normalizes reals to [-1,1] too; InceptionV3 expects [0,1])
+            fid.update(((outs[0] + 1.0) / 2.0, (p["reals"] + 1.0) / 2.0))
+            if p["dist"] is not None:
+                diversity.extend(float(v) for v in np.asarray(p["dist"]))
+
+        pending = None
         for start in range(0, len(content_paths), eval_batch):
             chunk = content_paths[start : start + eval_batch]
             imgs = jnp.asarray(
@@ -93,10 +120,6 @@ def evaluate(args, model, state, num_styles: int = 2):
             bsz = imgs.shape[0]
             trg = jnp.asarray(np.tile(trg1, (bsz, 1)))
             outs = []
-            # raw jitted forward when available: the timed forward_random
-            # wrapper syncs + polls device memory per call, which through the
-            # relay costs ~0.5 s/call
-            fwd = getattr(model, "_forward_random_jit", None)
             for s in range(num_styles):
                 rng, k = jax.random.split(rng)
                 z = model.get_z_random(k, bsz)
@@ -104,26 +127,27 @@ def evaluate(args, model, state, num_styles: int = 2):
                     fake = fwd(params, imgs, z, trg)
                 else:
                     fake, _, _ = model.forward_random(state, imgs, z, trg)
-                outs.append(np.asarray(fake, np.float32))
-            if getattr(args, "save_visuals", False):
-                for s in range(num_styles):
-                    names = [
-                        os.path.join(args.display_dir, domain, f"{start + j}_{s}.jpg")
-                        for j in range(bsz)
-                    ]
-                    save_images(outs[s], names)
-            # FID update: both sides mapped [-1,1] -> [0,1] (TrainTransform
-            # normalizes reals to [-1,1] too; InceptionV3 expects [0,1])
+                outs.append(fake)  # device ref — not materialized yet
+            # LPIPS distance dispatched on the device refs directly (no
+            # host round trip through np/jnp re-upload); f32 cast on device
+            # preserves the old materialize-then-score numerics exactly
+            dist = (
+                lpips_fn(outs[0].astype(jnp.float32), outs[1].astype(jnp.float32))
+                if num_styles > 1
+                else None
+            )
             reals = np.stack(
                 [
                     np.asarray(real_ds[(start + j) % len(real_ds)], np.float32)
                     for j in range(bsz)
                 ]
             )
-            fid.update(((outs[0] + 1.0) / 2.0, (reals + 1.0) / 2.0))
-            if num_styles > 1:
-                d = lpips_fn(jnp.asarray(outs[0]), jnp.asarray(outs[1]))
-                diversity += [float(v) for v in np.asarray(d)]
+            if pending is not None:
+                consume(pending)
+            pending = {"outs": outs, "dist": dist, "reals": reals,
+                       "start": start, "bsz": bsz}
+        if pending is not None:
+            consume(pending)
         results[domain] = {
             "fid": fid.compute(),
             "lpips_diversity": float(np.mean(diversity)) if diversity else float("nan"),

@@ -417,17 +417,24 @@ class ConvTranspose2d(nn.Module):
                 init_fn=lambda: jnp.zeros((), jnp.float32),
                 reduce_fn=jnp.maximum,
             )
-        # On TPU, int8 deconv only pays through the Pallas sub-pixel kernel;
-        # lane-misaligned shapes (BaseModel DecoderConcat tail: 276->138,
-        # 146->73) stay bf16 rather than hitting the slow XLA int8 path.
-        # Off-TPU the exact jnp fallback serves the tests.
+        # On TPU, int8 deconv only pays through the Pallas sub-pixel kernel
+        # (as-is, or zero-channel-padded to its lane alignment — exact, see
+        # conv_int8.deconv_pad_eligible; that padding is what serves the
+        # BaseModel DecoderConcat tail's 276->138 / 146->73 upsamples int8).
+        # Shapes neither accepts stay bf16 rather than hitting the slow XLA
+        # int8 path. Off-TPU the exact jnp fallback serves the tests.
         import jax as _jax
 
         deconv_ok = True
         if is_up3 and _jax.default_backend() == "tpu":
-            from masterthesis_tpu.ops.pallas.conv_int8 import deconv_eligible
+            from masterthesis_tpu.ops.pallas.conv_int8 import (
+                deconv_eligible,
+                deconv_pad_eligible,
+            )
 
-            deconv_ok = deconv_eligible(x, self.features)
+            deconv_ok = deconv_eligible(x, self.features) or deconv_pad_eligible(
+                x, self.features
+            )
         # declared once up front: the QAT scope gate below may fall through to
         # the float path, which must not re-declare the name (Flax forbids it)
         bias = (
@@ -898,9 +905,31 @@ class ResnetBlock(nn.Module):
             relu_mid=self.activation == "relu",
         )
 
+    def _fused_train(self, x):
+        """Differentiable whole-block mega-kernel (training path): conv1 ->
+        IN -> relu -> conv2 -> IN -> +x as ONE Pallas launch per image in the
+        forward and one in the backward (ops/pallas/resblock_bf16.py; autodiff
+        equality pinned in tests/test_resblock_bf16.py). Block-boundary-only
+        interfaces avoid the per-conv layout-copy tax that killed --int8_train
+        as a speed lever (BASELINE.md round-4 training section)."""
+        from masterthesis_tpu.ops.pallas.resblock_bf16 import fused_resblock
+
+        p = self.variables["params"]
+        zero = jnp.zeros((x.shape[0], x.shape[-1]), jnp.float32)
+        return fused_resblock(
+            x.astype(self.dtype),
+            p["conv1"]["conv"]["kernel"], p["conv2"]["conv"]["kernel"],
+            zero, zero,
+            padding_type=self.padding_type, relu_mid=True,
+        )
+
     @nn.compact
     def __call__(self, x, deterministic: bool = True):
         from masterthesis_tpu.ops.pallas.conv_int8 import resblock_serving_profitable
+        from masterthesis_tpu.ops.pallas.resblock_bf16 import (
+            fused_train_active,
+            resblock_train_eligible,
+        )
 
         q = self.variables.get("quant", {})
         if (
@@ -911,6 +940,16 @@ class ResnetBlock(nn.Module):
             and resblock_serving_profitable(x)
         ):
             return self._serving_int8(x, q)
+        if (
+            not self.is_initializing()  # init runs composed: creates params
+            and fused_train_active()
+            and self.norm == "instance"
+            and self.activation == "relu"
+            and not self.dropout
+            and self.padding_type in ("reflect", "zero", None)
+            and resblock_train_eligible(x)
+        ):
+            return self._fused_train(x)
         common = dict(
             init_type=self.init_type,
             init_gain=self.init_gain,
@@ -978,10 +1017,36 @@ class AdaINResnetBlock(nn.Module):
             relu_mid=self.activation == "relu",
         )
 
+    def _fused_train(self, x, z):
+        """Differentiable whole-block mega-kernel (training path), the AdaIN
+        variant: the shared style projection is computed here (grads flow to
+        both z and style_proj through the matmul; gamma/beta enter the kernel
+        as custom_vjp primals with analytic gradients). See
+        ResnetBlock._fused_train on why whole-block interfaces."""
+        from masterthesis_tpu.ops.pallas.resblock_bf16 import fused_resblock
+
+        p = self.variables["params"]
+        sp = p["adain"]["style_proj"]
+        h = z.astype(jnp.float32) @ sp["kernel"].astype(jnp.float32) + sp[
+            "bias"
+        ].astype(jnp.float32)
+        gamma, beta = jnp.split(h, 2, axis=-1)  # (B, C) each, shared by both
+        return fused_resblock(
+            x.astype(self.dtype),
+            p["conv1"]["conv"]["kernel"], p["conv2"]["conv"]["kernel"],
+            gamma, beta,
+            padding_type=self.padding_type,
+            relu_mid=self.activation == "relu",
+        )
+
     @nn.compact
     def __call__(self, x, z, deterministic: bool = True):
         from masterthesis_tpu.ops.norms import AdaptiveInstanceNorm
         from masterthesis_tpu.ops.pallas.conv_int8 import resblock_serving_profitable
+        from masterthesis_tpu.ops.pallas.resblock_bf16 import (
+            fused_train_active,
+            resblock_train_eligible,
+        )
 
         q = self.variables.get("quant", {})
         if (
@@ -991,6 +1056,15 @@ class AdaINResnetBlock(nn.Module):
             and resblock_serving_profitable(x)
         ):
             return self._serving_int8(x, z, q)
+        if (
+            not self.is_initializing()  # init runs composed: creates params
+            and fused_train_active()
+            and self.activation in ("relu", None)
+            and not self.dropout
+            and self.padding_type in ("reflect", "zero", None)
+            and resblock_train_eligible(x)
+        ):
+            return self._fused_train(x, z)
         common = dict(
             init_type=self.init_type,
             init_gain=self.init_gain,

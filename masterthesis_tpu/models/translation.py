@@ -72,6 +72,14 @@ class TranslationModel(Model):
         )
         self._main_step = jax.jit(step_impl, donate_argnums=0)
         self._content_step = jax.jit(self._content_step_impl, donate_argnums=0)
+        # --fused_resblock: route eligible training resblocks through the
+        # differentiable whole-block Pallas kernel (resblock_bf16.py). Only
+        # the MAIN step body — the content step's encoder forward is
+        # stop-gradient'd, so the kernel's saved residuals (h1/h2/stats)
+        # would be pure extra HBM writes there.
+        self._fused_train_enabled = (
+            getattr(args, "fused_resblock", "auto") != "off"
+        )
         # --int8_train state (see calibrate_quant_train / ops/qat.py)
         self._step_quant = None
         self._train_quant = None
@@ -82,9 +90,13 @@ class TranslationModel(Model):
                     "--int8_train is incompatible with --remat: the remat step "
                     "bypasses the quant plumbing (and remat measured slower anyway)"
                 )
-            from masterthesis_tpu.ops.qat import set_qat_scope
+            from masterthesis_tpu.ops.qat import parse_qat_scope
 
-            set_qat_scope(getattr(args, "int8_train_scope", "all"))
+            # stored per-model (not process-wide): two models with different
+            # scopes in one process each trace with their own
+            self._qat_scope = parse_qat_scope(
+                getattr(args, "int8_train_scope", "all")
+            )
         self._forward_jit = jax.jit(self._forward_impl)
         self._forward_random_jit = jax.jit(self._forward_random_impl)
         self._forward_reference_jit = jax.jit(self._forward_reference_impl)
@@ -622,12 +634,23 @@ class TranslationModel(Model):
         (ops/qat.py) and the serving-only defer/packed chains stay off.
         """
         if quant is None:
+            if getattr(self, "_fused_train_enabled", False):
+                # plain bf16 step: route eligible resblocks through the
+                # differentiable whole-block Pallas kernel (the trace-time
+                # flag mirrors qat_trace; mutually exclusive with QAT, whose
+                # per-conv int8 forwards replace the whole-block fusion)
+                from masterthesis_tpu.ops.pallas.resblock_bf16 import (
+                    fused_train_trace,
+                )
+
+                with fused_train_trace():
+                    return fn(*args)
             return fn(*args)
         from masterthesis_tpu.ops.qat import qat_trace
 
         self._step_quant = quant
         try:
-            with qat_trace():
+            with qat_trace(getattr(self, "_qat_scope", None)):
                 return fn(*args)
         finally:
             self._step_quant = None

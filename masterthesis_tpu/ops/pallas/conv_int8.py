@@ -599,9 +599,17 @@ def pallas_int8_deconv(
     if inv_act_scale is None:
         inv_act_scale = jnp.ones((), jnp.float32)
     if row_blocks is None:
-        # out block + x + padded scratch target <= ~12 MB
-        full = 4 * h * w * c_out * 2 + x.size // b * x.dtype.itemsize + (h + 1) * (w + 1) * c
-        row_blocks = 1 if full <= 12_000_000 else 2
+        # smallest row split whose out block + x + padded scratch fits the
+        # ~12 MB working-set target; larger shapes (lane-padded BaseModel
+        # tail: 128x128x256 -> 256x256x128) need 4- or 8-way splits, bounded
+        # instead by the out block alone (x/scratch aren't split by j)
+        fixed = x.size // b * x.dtype.itemsize + (h + 1) * (w + 1) * c
+        cands = [rb for rb in (1, 2, 4, 8) if h % rb == 0]
+        row_blocks = next(
+            (rb for rb in cands if 4 * h * w * c_out * 2 // rb + fixed <= 12_000_000),
+            next((rb for rb in cands if 4 * h * w * c_out * 2 // rb <= 4_500_000),
+                 cands[-1]),
+        )
     hb = h // row_blocks
     row_chunk = next(rc for rc in (8, 4, 2, 1) if hb % rc == 0)
     # Co >= one 128-lane register: interleave columns in-kernel. Smaller Co:
@@ -683,21 +691,51 @@ def pallas_int8_deconv(
     return result
 
 
+def _deconv_fits(h: int, w: int, c: int, features: int) -> bool:
+    """VMEM bounds for the sub-pixel deconv kernel: full-size padded int8
+    scratch, and SOME row split (1/2/4/8) whose bf16 out block fits."""
+    return (
+        h % 2 == 0
+        and h >= 8
+        and w >= 8
+        and (h + 1) * (w + 1) * c <= 4_500_000  # padded int8 scratch
+        and any(
+            h % rb == 0 and 4 * h * w * features * 2 // rb <= 4_500_000
+            for rb in (1, 2, 4, 8)
+        )
+    )
+
+
 def deconv_eligible(x: jnp.ndarray, features: int) -> bool:
-    """Kernel eligibility for the (3,2,1,1) transposed conv serving path."""
+    """Kernel eligibility as-is for the (3,2,1,1) transposed conv path."""
     if x.ndim != 4:
         return False
-    b, h, w, c = x.shape
+    _, h, w, c = x.shape
     return (
         c % 128 == 0
         # lane-packed store needs 2*Co lane-aligned (Co=64: pairs fill a reg)
         and (2 * features) % 128 == 0
-        and h % 2 == 0
-        and h >= 8
-        and w >= 8
-        and (h + 1) * (w + 1) * c <= 4_200_000  # padded int8 scratch
-        and 2 * h * w * features * 2 <= 4_500_000  # half-out block (bf16)
+        and _deconv_fits(h, w, c, features)
     )
+
+
+def deconv_pad_eligible(x: jnp.ndarray, features: int) -> bool:
+    """Eligibility after zero-padding channels: C to the 128-lane width, Co
+    to a half-lane multiple (the lane-packed store pairs phase columns, so
+    2*Co must be lane-aligned).
+
+    Zero channel padding is EXACT, as for the 3x3s (conv3x3_pad_eligible):
+    padded activations quantize to 0 against zero weight rows; padded output
+    channels carry zero weights, zero dequant scale, and zero bias, and are
+    sliced away (their in-kernel stats contributions are exactly 0). This is
+    what puts the BaseModel DecoderConcat deconv tail (reference
+    networks.py:300-333: 276->138, 146->73 upsamples) on the int8 MXU path:
+    e.g. 276->138 pads to 384->192 = 1.93x the MACs at the int8 rate, vs the
+    bf16 dilated form's 2.25x MAC overhead at half the rate."""
+    if x.ndim != 4:
+        return False
+    _, h, w, c = x.shape
+    return _deconv_fits(h, w, c + lane_pad(c), features + (-features) % 64)
 
 
 def jnp_int8_deconv(x_q: jnp.ndarray, w4_q: jnp.ndarray) -> jnp.ndarray:
@@ -762,6 +800,36 @@ def int8_deconv(
             prologue_shift=prologue_shift, prologue_relu=prologue_relu,
             with_stats=with_stats, packed_out=packed_out,
         )
+    if use_pallas and deconv_pad_eligible(x, c_out):
+        # lane-misaligned channels (BaseModel DecoderConcat tail): zero-pad
+        # to the kernel's alignment — exact, see deconv_pad_eligible — and
+        # re-enter. The padded result ALWAYS comes back unpacked (interleaved
+        # real/pad lanes would break the packed-layout contract); callers
+        # detect packing by shape, so handing back Co real channels is safe.
+        cp, cop = lane_pad(x.shape[-1]), (-c_out) % 64
+        out = int8_deconv(
+            jnp.pad(x, ((0, 0), (0, 0), (0, 0), (0, cp))),
+            jnp.pad(w, ((0, 0), (0, 0), (0, cp), (0, cop))),
+            amax,
+            bias=jnp.pad(bias32, (0, cop)),
+            out_dtype=out_dtype,
+            interpret=interpret,
+            prologue_scale=None if prologue_scale is None
+            else jnp.pad(prologue_scale, ((0, 0), (0, cp))),
+            prologue_shift=None if prologue_shift is None
+            else jnp.pad(prologue_shift, ((0, 0), (0, cp))),
+            prologue_relu=prologue_relu,
+            with_stats=with_stats,
+            packed_out=False,
+        )
+        if with_stats:
+            y, s1, s2 = out
+            b_ = y.shape[0]
+            # (B, 4*Cop) phase-group stats -> the caller's (B, 4*Co) contract
+            s1 = s1.reshape(b_, 4, -1)[:, :, :c_out].reshape(b_, 4 * c_out)
+            s2 = s2.reshape(b_, 4, -1)[:, :, :c_out].reshape(b_, 4 * c_out)
+            return y[..., :c_out], s1, s2
+        return out[..., :c_out]
     if prologue_scale is not None:
         x = x.astype(jnp.float32) * prologue_scale[:, None, None, :]
         x = x + prologue_shift[:, None, None, :]
@@ -1396,9 +1464,14 @@ def pallas_packed_head(
     if row_block is None:
         # double-buffered bf16 in block + f32 affine temporaries ~<= 8 MB
         row_block = next(
-            rb for rb in (64, 32, 16, 8, 4, 2, 1)
-            if h2 % rb == 0 and rb * w * c2 * 6 <= 8_000_000
+            (rb for rb in (64, 32, 16, 8, 4, 2, 1)
+             if h2 % rb == 0 and rb * w * c2 * 6 <= 8_000_000),
+            None,
         )
+        if row_block is None:  # packed_head_eligible keeps callers off this
+            raise ValueError(
+                f"packed head row too large for VMEM: w*c2*6 = {w * c2 * 6}"
+            )
     relu_flag = bool(relu)
     alpha_f = float(alpha)
     if act not in (None, "tanh"):
@@ -1467,5 +1540,8 @@ def packed_head_eligible(x: jnp.ndarray, co2: int) -> bool:
         c2 % 128 == 0
         and w % 128 == 0
         and h2 % 2 == 0
-        and w * c2 * 2 * 2 <= 8_000_000
+        # must admit at least the rb=1 row block in pallas_packed_head's
+        # selector (rb * w * c2 * 6 <= 8e6) — a looser gate here would pass
+        # eligibility then fail block selection at trace time
+        and w * c2 * 6 <= 8_000_000
     )

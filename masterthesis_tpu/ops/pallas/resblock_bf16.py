@@ -38,6 +38,7 @@ HBM write of its output).
 """
 from __future__ import annotations
 
+import contextlib
 import functools
 from typing import Optional
 
@@ -45,6 +46,7 @@ import jax
 import jax.numpy as jnp
 
 _MODE = "auto"  # auto (TPU only) | on | off | interpret (tests)
+_TRAIN_TRACE = False  # inside a training-step trace (set by TranslationModel)
 
 
 def set_fused_resblock(mode: str) -> None:
@@ -65,6 +67,37 @@ def fused_resblock_wanted() -> bool:
         return jax.default_backend() == "tpu"
     except Exception:  # pragma: no cover
         return False
+
+
+@contextlib.contextmanager
+def fused_train_trace():
+    """Mark the enclosing trace as a TRAINING step: inside this context the
+    resblock modules route through the fused differentiable kernel (when
+    ``fused_resblock_wanted()`` and the shape is eligible). Serving/forward
+    traces stay on the composed XLA path — the kernel materializes (h1, h2,
+    stats) as custom_vjp residuals, which pure inference doesn't want.
+    Entered by TranslationModel around the jitted step bodies (the step is
+    traced ONCE, so a trace-time flag is sufficient, like ops/qat.py)."""
+    global _TRAIN_TRACE
+    prev = _TRAIN_TRACE
+    _TRAIN_TRACE = True
+    try:
+        yield
+    finally:
+        _TRAIN_TRACE = prev
+
+
+def fused_train_active() -> bool:
+    """Whether a resblock module being traced right now should take the fused
+    training kernel: inside a training trace, not under QAT (--int8_train
+    wants per-conv int8 forwards instead), and routing enabled."""
+    if not _TRAIN_TRACE:
+        return False
+    from masterthesis_tpu.ops.qat import qat_trace_mode
+
+    if qat_trace_mode():
+        return False
+    return fused_resblock_wanted()
 
 
 def _interpret() -> bool:

@@ -66,33 +66,37 @@ def qat_scope() -> frozenset:
     return _qat_scope
 
 
-def set_qat_scope(scope) -> None:
-    """Configure the QAT scope: "all" or a comma list of conv/stride2/deconv.
-
-    Tracing-time config (a retrace picks up the new value); set once at model
-    construction from ``--int8_train_scope``.
-    """
-    global _qat_scope
+def parse_qat_scope(scope) -> frozenset:
+    """Parse ``--int8_train_scope``: "all" or a comma list of
+    conv/stride2/deconv. Pure — each model stores its own parsed scope and
+    passes it to ``qat_trace``, so two models with different scopes in one
+    process don't clobber each other."""
     if scope in (None, "all", ""):
-        _qat_scope = frozenset({"conv", "stride2", "deconv"})
-        return
+        return frozenset({"conv", "stride2", "deconv"})
     kinds = frozenset(s.strip() for s in str(scope).split(",") if s.strip())
     bad = kinds - {"conv", "stride2", "deconv"}
     if bad:
         raise ValueError(f"unknown --int8_train_scope kinds: {sorted(bad)}")
-    _qat_scope = kinds
+    return kinds
 
 
 @contextlib.contextmanager
-def qat_trace():
-    """Mark the enclosed trace as quantization-aware training."""
-    global _qat_mode
-    prev = _qat_mode
+def qat_trace(scope: frozenset | None = None):
+    """Mark the enclosed trace as quantization-aware training.
+
+    ``scope`` (from ``parse_qat_scope``) applies for the duration of this
+    trace only — the globals exist because tracing is single-threaded and the
+    Flax modules have no config channel, but they never outlive the context,
+    so they can't leak between model instances."""
+    global _qat_mode, _qat_scope
+    prev_mode, prev_scope = _qat_mode, _qat_scope
     _qat_mode = True
+    if scope is not None:
+        _qat_scope = scope
     try:
         yield
     finally:
-        _qat_mode = prev
+        _qat_mode, _qat_scope = prev_mode, prev_scope
 
 
 @functools.lru_cache(maxsize=None)

@@ -127,6 +127,11 @@ class Sampler:
                 f"got {len(refs)} style references for {len(trgs)} targets"
             )
         multi = int(getattr(args, "multi_iter", 0) or 0)
+        if refs is not None:
+            # reference styles are deterministic — only ONE pass per target
+            # runs, so the _s<k> suffix (random-style-iteration naming) does
+            # not apply; keep ref naming identical to the non-multi_iter case
+            multi = 0
         n_styles = max(1, multi)
         # one-deep pipeline: translate(sync=False) only enqueues, so batch
         # k+1's device work is dispatched before batch k is pulled to host

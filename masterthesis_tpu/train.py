@@ -79,9 +79,12 @@ class Trainer:
                         batch, k, args.load_size, args.crop_size,
                         train=True, no_flip=getattr(args, "no_flip", False),
                     )
-                if (
-                    getattr(args, "int8_train", False)
-                    and global_iter % max(1, args.int8_calib_freq) == 0
+                if getattr(args, "int8_train", False) and (
+                    global_iter % max(1, args.int8_calib_freq) == 0
+                    # resumed runs (last_iter+1 not a multiple of the freq)
+                    # must calibrate immediately, or the steps until the next
+                    # boundary would silently run plain bf16
+                    or model._train_quant is None
                 ):
                     # delayed scaling: refresh per-conv amax from this batch;
                     # the step consumes it as a dynamic jit arg (no recompile)

@@ -1,12 +1,11 @@
-"""Generic helpers: reflection registry, attribute dict, timers.
+"""Generic helpers: reflection registry, attribute dict.
 
-Mirrors the helper surface of the reference `src/utils.py` (utils.py:18-196)
-without any torch dependency.
+Covers the helper surface of the reference `src/utils.py` (utils.py:18-196)
+without any torch dependency; the timing/metering helpers live with the rest
+of the instrumentation in utils/profiling.py and are re-exported here.
 """
 from __future__ import annotations
 
-import time
-from collections import OrderedDict
 from inspect import isclass
 
 from masterthesis_tpu.utils.images import (  # noqa: F401
@@ -14,6 +13,10 @@ from masterthesis_tpu.utils.images import (  # noqa: F401
     save_image,
     save_images,
     tensor_to_image,
+)
+from masterthesis_tpu.utils.profiling import (  # noqa: F401
+    AverageMeter,
+    TimerBlock,
 )
 
 
@@ -41,79 +44,18 @@ def module_to_dict(module, exclude=()):
     )
 
 
-class AttributeDict(OrderedDict):
-    """OrderedDict with attribute access (reference utils.py:122-148)."""
+class AttributeDict(dict):
+    """dict with attribute-style access; missing attributes read as None
+    (argument namespaces probe optional flags with plain ``args.flag``).
+    Role of reference utils.py:122-148."""
 
-    def __init__(self, *args, **kwargs):
-        super().__init__()
-        for arg in args:
-            if isinstance(arg, dict):
-                for k, v in arg.items():
-                    self[k] = v
-        for k, v in kwargs.items():
-            self[k] = v
+    def __getattr__(self, name):
+        if name.startswith("__"):  # keep pickling/copy protocols sane
+            raise AttributeError(name)
+        return self.get(name)
 
-    def __getattr__(self, attr):
-        if attr.startswith("__"):
-            raise AttributeError(attr)
-        return self.get(attr)
+    def __setattr__(self, name, value):
+        self[name] = value
 
-    def __setattr__(self, key, value):
-        self.__setitem__(key, value)
-
-    def __delattr__(self, item):
-        self.__delitem__(item)
-
-
-class TimerBlock:
-    """Context manager printing elapsed-time-prefixed log lines
-    (reference utils.py:150-173)."""
-
-    def __init__(self, title):
-        print(str(title))
-        self.start = time.perf_counter()
-
-    def __enter__(self):
-        self.start = time.perf_counter()
-        return self
-
-    def __exit__(self, exc_type, exc_value, traceback):
-        self.end = time.perf_counter()
-        self.interval = self.end - self.start
-        if exc_type is not None:
-            self.log("Operation failed\n")
-        else:
-            self.log("Operation finished\n")
-
-    def log(self, string):
-        duration = time.perf_counter() - self.start
-        units = "s"
-        if duration > 60:
-            duration = duration / 60.0
-            units = "m"
-        print("  [{:.3f}{}] {}".format(duration, units, string), flush=True)
-
-
-class AverageMeter:
-    """Running average tracker (reference utils.py:175-196)."""
-
-    def __init__(self, name, fmt=":f"):
-        self.name = name
-        self.fmt = fmt
-        self.reset()
-
-    def reset(self):
-        self.val = 0
-        self.avg = 0
-        self.sum = 0
-        self.count = 0
-
-    def update(self, val, n=1):
-        self.val = val
-        self.sum += val * n
-        self.count += n
-        self.avg = self.sum / self.count
-
-    def __str__(self):
-        fmtstr = "{name} {val" + self.fmt + "} ({avg" + self.fmt + "})"
-        return fmtstr.format(**self.__dict__)
+    def __delattr__(self, name):
+        del self[name]

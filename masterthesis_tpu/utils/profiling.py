@@ -67,3 +67,56 @@ def device_memory_stats(device=None) -> dict:
 
 def device_memory_gb(device=None) -> float:
     return device_memory_stats(device).get("bytes_in_use", 0) / (1024**3)
+
+
+class TimerBlock:
+    """Console section logger: a heading line, then elapsed-stamped entries.
+
+    Covers the job of the reference's console logger (utils.py:150-173) with
+    one monotonic clock and no stored end-state; structured per-step timing
+    lives in StepTimer above.
+    """
+
+    def __init__(self, title: str):
+        self._t0 = time.perf_counter()
+        print(title, flush=True)
+
+    def __enter__(self) -> "TimerBlock":
+        self._t0 = time.perf_counter()
+        return self
+
+    def log(self, message: str) -> None:
+        dt = time.perf_counter() - self._t0
+        stamp = f"{dt:.3f}s" if dt <= 60 else f"{dt / 60:.3f}m"
+        print(f"  [{stamp}] {message}", flush=True)
+
+    def __exit__(self, exc_type, exc, tb) -> None:
+        self.log("Operation failed\n" if exc_type else "Operation finished\n")
+
+
+class AverageMeter:
+    """Streaming weighted mean of a scalar, with display formatting
+    (reference utils.py:175-196's role; the mean is derived, not stored)."""
+
+    def __init__(self, name: str, fmt: str = ":f"):
+        self.name = name
+        self.fmt = fmt
+        self.reset()
+
+    def reset(self) -> None:
+        self.val = 0.0
+        self.sum = 0.0
+        self.count = 0
+
+    @property
+    def avg(self) -> float:
+        return self.sum / self.count if self.count else 0.0
+
+    def update(self, val, n: int = 1) -> None:
+        self.val = val
+        self.sum += val * n
+        self.count += n
+
+    def __str__(self) -> str:
+        spec = self.fmt.lstrip(":")
+        return f"{self.name} {format(self.val, spec)} ({format(self.avg, spec)})"

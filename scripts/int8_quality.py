@@ -27,8 +27,10 @@ def main():
     ap.add_argument("--model", default="AdaINModel",
                     choices=["AdaINModel", "BaseModel"])
     ap.add_argument("--size", type=int, default=128)
+    ap.add_argument("--dim", type=int, default=64,
+                    help="base channel width the checkpoint was trained at")
     ap.add_argument("--num_styles", type=int, default=2)
-    ap.add_argument("--out", default="benchmarks/int8_quality_r4.json")
+    ap.add_argument("--out", default="benchmarks/int8_quality_r5.json")
     cli = ap.parse_args()
 
     import jax
@@ -44,7 +46,7 @@ def main():
     model_cls = {"AdaINModel": AdaINModel, "BaseModel": BaseModel}[cli.model]
     args = default_test_args(
         dataroot=cli.dataroot, model=model_cls, batch_size=1, num_domains=4,
-        reparam=True, concat=True, compute_dtype="bfloat16",
+        dim=cli.dim, reparam=True, concat=True, compute_dtype="bfloat16",
         crop_size=cli.size, load_size=cli.size + 16, resume=cli.ckpt,
         logdir=None, mode="test", display_dir="/tmp/int8_quality_eval",
         fid_extractor="pixel",

@@ -316,6 +316,10 @@ def run_tpu(cli):
         lr_policy="lambda", n_iter_decay=cli.iters // 2,
         n_iters=cli.iters, max_iter=cli.iters, seed=cli.seed,
         mode="train", logdir=None, checkpoint_dir=ckpt_dir,
+        # 'off' by default: h2h trends compare against rounds 3/4 data that
+        # trained on the composed float path; pass --fused auto to A/B the
+        # whole-block training kernel's dynamics at h2h scale instead
+        fused_resblock=cli.fused,
         **{k: v for k, v in CFG.items() if k not in ("input_dim",)},
     )
     model = model_cls(targs)
@@ -436,8 +440,15 @@ def main():
                     help="model family on BOTH sides (reference class name)")
     ap.add_argument("--concat", action="store_true",
                     help="use the concat decoder (both sides)")
+    ap.add_argument("--dim", type=int, default=CFG["dim"],
+                    help="base channel width (both sides) — 64 + --size 128 "
+                         "reproduces the r3 quality-trend flagship scale")
+    ap.add_argument("--fused", default="off", choices=["off", "auto"],
+                    help="tpu side --fused_resblock (off matches the r3/r4 "
+                         "composed-path trend data)")
     cli = ap.parse_args()
     cli.batch_size = CFG["batch_size"]
+    CFG["dim"] = cli.dim
 
     dataroot = os.path.join(cli.out, "data")
     if cli.side != "report" and not os.path.isdir(dataroot):

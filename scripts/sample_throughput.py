@@ -1,0 +1,132 @@
+"""Round-5 measurement: sample.py CLI end-to-end throughput vs bench.py.
+
+VERDICT r4 Weak #6 / round-3 criterion: the sample CLI (files actually
+written to disk) should reach >= 90% of bench.py's steady-state device rate.
+Round 4 built the one-deep dispatch pipeline (sample.py _translate_all) but
+never measured it. This script:
+
+1. builds a synthetic content dataset,
+2. runs the REAL CLI (python -m masterthesis_tpu.sample) twice — first run
+   pays the compile (cached), second run is the measurement,
+3. parses the CLI's own "Translating" timer and counts files written,
+4. separately times PIL JPEG encode on this host to attribute any gap
+   (1 CPU core: the encoder is a fixed host-side cost the device can only
+   hide behind, not remove).
+
+Run: python scripts/sample_throughput.py --batch 64 --n_images 512
+Writes benchmarks/sample_cli_r5.json.
+"""
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import re
+import shutil
+import subprocess
+import sys
+import time
+
+import numpy as np
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+
+def make_dataset(root: str, n: int, size: int):
+    from PIL import Image
+
+    os.makedirs(root, exist_ok=True)
+    rng = np.random.default_rng(0)
+    for i in range(n):
+        arr = rng.integers(0, 255, (size, size, 3), dtype=np.uint8)
+        Image.fromarray(arr.astype(np.uint8)).save(os.path.join(root, f"img{i}.jpg"))
+
+
+def encode_rate(size: int, n: int = 64) -> float:
+    """Pure PIL JPEG encode+write rate on this host (img/s)."""
+    from PIL import Image
+
+    rng = np.random.default_rng(1)
+    imgs = [rng.integers(0, 255, (size, size, 3), dtype=np.uint8) for _ in range(n)]
+    out = "/tmp/sample_bench/encode_probe"
+    os.makedirs(out, exist_ok=True)
+    t0 = time.perf_counter()
+    for i, a in enumerate(imgs):
+        Image.fromarray(a.astype(np.uint8)).save(os.path.join(out, f"e{i}.jpg"))
+    return n / (time.perf_counter() - t0)
+
+
+def run_cli(args, out_dir: str, int8: bool) -> dict:
+    if os.path.isdir(out_dir):
+        shutil.rmtree(out_dir)
+    cmd = [
+        sys.executable, "-m", "masterthesis_tpu.sample",
+        "--dataroot", args.data,
+        "--model", "AdaINModel", "--dim", "64", "--latent_dim", "8",
+        "--num_domains", "4", "--batch_size", str(args.batch),
+        "--crop_size", str(args.size), "--load_size", str(args.size + 16),
+        "--reparam", "--concat",
+        "--targets", "fog",
+        "--result_dir", out_dir,
+    ]
+    if int8:
+        cmd += ["--int8"]
+    env = dict(os.environ, JAX_COMPILATION_CACHE_DIR="/tmp/tpu_jax_cache")
+    t0 = time.perf_counter()
+    proc = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                          cwd=REPO, timeout=2400)
+    wall = time.perf_counter() - t0
+    if proc.returncode != 0:
+        print(proc.stdout[-4000:])
+        print(proc.stderr[-4000:])
+        raise SystemExit(f"sample CLI failed ({proc.returncode})")
+    n_files = sum(len(fs) for _, _, fs in os.walk(out_dir))
+    # the CLI's own translate-phase timer (excludes model init/compile)
+    m = re.findall(r"\[(\d+\.\d+)(s|m)\] Operation finished", proc.stdout)
+    return {"wall_s": round(wall, 2), "n_files": n_files,
+            "cli_img_s": round(n_files / wall, 2), "stdout_tail": proc.stdout[-1200:]}
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--batch", type=int, default=64)
+    ap.add_argument("--n_images", type=int, default=512)
+    ap.add_argument("--size", type=int, default=256)
+    ap.add_argument("--data", default="/tmp/sample_bench/data")
+    ap.add_argument("--out", default="benchmarks/sample_cli_r5.json")
+    ap.add_argument("--bench_rate", type=float, default=None,
+                    help="bench.py int8 headline (img/s) for the ratio")
+    args = ap.parse_args()
+
+    if not os.path.isdir(args.data):
+        print("generating dataset ...", flush=True)
+        make_dataset(args.data, args.n_images, args.size + 32)
+
+    enc = encode_rate(args.size)
+    print(f"host JPEG encode rate: {enc:.1f} img/s", flush=True)
+
+    print("warm-up run (compiles) ...", flush=True)
+    warm = run_cli(args, "/tmp/sample_bench/out_warm", int8=True)
+    print(json.dumps({k: v for k, v in warm.items() if k != "stdout_tail"}), flush=True)
+    print("measured run ...", flush=True)
+    hot = run_cli(args, "/tmp/sample_bench/out_hot", int8=True)
+
+    result = {
+        "config": {"batch": args.batch, "n_images": args.n_images,
+                   "size": args.size, "int8": True, "targets": 1},
+        "host_jpeg_encode_img_s": round(enc, 1),
+        "warm_run": {k: v for k, v in warm.items() if k != "stdout_tail"},
+        "measured_run": {k: v for k, v in hot.items() if k != "stdout_tail"},
+        "stdout_tail": hot["stdout_tail"],
+    }
+    if args.bench_rate:
+        result["vs_bench"] = round(hot["cli_img_s"] / args.bench_rate, 4)
+    os.makedirs(os.path.dirname(args.out), exist_ok=True)
+    with open(args.out, "w") as f:
+        json.dump(result, f, indent=1)
+    print(json.dumps({k: v for k, v in result.items() if k != "stdout_tail"}, indent=1))
+
+
+if __name__ == "__main__":
+    main()

@@ -362,8 +362,9 @@ def test_deconv_kernel_matches_jnp_fallback_with_stats_prologue():
     np.testing.assert_allclose(np.asarray(s2_k), np.asarray(s2_j), rtol=1e-5, atol=1e-4)
 
 
-def test_deconv_kernel_row_blocks():
-    """row_blocks=2 grid split produces identical output to row_blocks=1."""
+@pytest.mark.parametrize("row_blocks", [2, 4])
+def test_deconv_kernel_row_blocks(row_blocks):
+    """Row-split grids (2/4-way) produce identical output to row_blocks=1."""
     from masterthesis_tpu.ops.pallas.conv_int8 import (
         pallas_int8_deconv, subpixel_weights,
     )
@@ -376,8 +377,58 @@ def test_deconv_kernel_row_blocks():
     a = pallas_int8_deconv(x_q, w4, scale4, out_dtype=jnp.float32,
                            interpret=True, row_blocks=1)
     b = pallas_int8_deconv(x_q, w4, scale4, out_dtype=jnp.float32,
-                           interpret=True, row_blocks=2)
+                           interpret=True, row_blocks=row_blocks)
     np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_int8_deconv_lane_padded_matches_jnp_path():
+    """Unaligned channels (the BaseModel tail shape class) through the
+    zero-padded kernel dispatch == the unfused jnp int8 math. The integer
+    accumulators are identical; the f32 dequant epilogue's fma ordering
+    differs at the last bit at the padded lane count, so the output check is
+    a ~1-ulp allclose rather than bitwise."""
+    from masterthesis_tpu.ops.pallas.conv_int8 import (
+        deconv_eligible, deconv_pad_eligible, int8_deconv,
+    )
+
+    k1, k2, k3 = jax.random.split(jax.random.PRNGKey(17), 3)
+    c, co = 20, 10  # pads to 128 -> 64
+    x = jax.random.normal(k1, (2, 8, 8, c)) * 2.0
+    w = jax.random.normal(k2, (3, 3, c, co)) * 0.3
+    bias = jnp.linspace(-0.3, 0.3, co)
+    pa = 1.0 + 0.1 * jax.random.normal(k3, (2, c))
+    pb = 0.1 * jax.random.normal(k3, (2, c))
+    amax = jnp.float32(2.5)
+    assert not deconv_eligible(x, co) and deconv_pad_eligible(x, co)
+    y_k, s1_k, s2_k = int8_deconv(
+        x, w, amax, bias=bias, out_dtype=jnp.float32, interpret=True,
+        prologue_scale=pa, prologue_shift=pb, prologue_relu=True,
+        with_stats=True,
+    )
+    y_j, s1_j, s2_j = int8_deconv(
+        x, w, amax, bias=bias, out_dtype=jnp.float32, interpret=False,
+        prologue_scale=pa, prologue_shift=pb, prologue_relu=True,
+        with_stats=True,
+    )
+    assert y_k.shape == y_j.shape == (2, 16, 16, co)
+    assert s1_k.shape == (2, 4 * co)
+    np.testing.assert_allclose(np.asarray(y_k), np.asarray(y_j),
+                               rtol=1e-6, atol=2e-6)
+    np.testing.assert_allclose(np.asarray(s1_k), np.asarray(s1_j), rtol=1e-5, atol=1e-4)
+    np.testing.assert_allclose(np.asarray(s2_k), np.asarray(s2_j), rtol=1e-5, atol=1e-4)
+
+
+def test_int8_deconv_lane_padded_packed_out_returns_unpacked():
+    """packed_out on a padded dispatch degrades safely to the unpacked
+    layout (callers detect packing by shape)."""
+    from masterthesis_tpu.ops.pallas.conv_int8 import int8_deconv
+
+    k1, k2 = jax.random.split(jax.random.PRNGKey(3))
+    x = jax.random.normal(k1, (1, 8, 8, 20))
+    w = jax.random.normal(k2, (3, 3, 20, 10)) * 0.3
+    y = int8_deconv(x, w, jnp.float32(2.0), out_dtype=jnp.float32,
+                    interpret=True, packed_out=True)
+    assert y.shape == (1, 16, 16, 10)
 
 
 # --------------------------------------------------------------------------- #
