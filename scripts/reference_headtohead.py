@@ -221,7 +221,58 @@ def run_ref(cli):
             next(feed)
         start_it = cli.resume_iter + 1
         print(f"[ref] resumed at iter {cli.resume_iter}", flush=True)
-    times, rows = [], []
+    def translate_current(imgs, z, trg):
+        # eval the CURRENT in-memory weights (identical to the checkpoint
+        # just saved); eval_translator's own rng(123) keeps the scoring
+        # draws shared with the tpu side and leaves torch's global RNG —
+        # hence the training trajectory — untouched.
+        with torch.no_grad():
+            ti = torch.from_numpy(imgs.transpose(0, 3, 1, 2))
+            z_c = model.model.content_encoder(ti)
+            out = model.model.decoder(
+                z_c, torch.from_numpy(z), torch.from_numpy(trg)
+            )
+        return out.numpy().transpose(0, 2, 3, 1)
+
+    suffix = f"_{cli.tag}" if cli.tag else ""
+    results_path = os.path.join(cli.out, f"ref_results{suffix}.json")
+
+    def write_results(results, times, partial):
+        out = {
+            "side": "reference (PyTorch, CPU)",
+            "config": {**CFG, "crop_size": cli.size, "iters": cli.iters,
+                       "seed": cli.seed, "model": cli.model,
+                       "concat": cli.concat},
+            "sec_per_iter": round(float(np.mean(times)), 3) if times else None,
+            "trend": results,
+        }
+        if partial:
+            out["partial"] = True  # run still in progress at this write
+        with open(results_path, "w") as f:
+            json.dump(out, f, indent=1)
+        return out
+
+    def eval_now(it, results, times):
+        # incremental checkpoint eval: a wall-clock cutoff must still leave
+        # a scored trend on disk (single-core ref runs take hours)
+        for net in model.model:
+            model.model[net].eval()
+        fids = eval_translator(
+            translate_current,
+            os.path.join(cli.out, "data"), cli.size + 16, cli.size,
+        )
+        for net in model.model:
+            model.model[net].train()
+        row = {"iter": it, **{f"fid_{k}": round(v, 3) for k, v in fids.items()}}
+        print("[ref eval]", json.dumps(row), flush=True)
+        results.append(row)
+        write_results(results, times, partial=it < cli.iters)
+
+    times, results = [], []
+    if start_it == 1:
+        # score the init too: "does training ever improve on init" is the
+        # exact question the r3 flagship-scale collapse raised
+        eval_now(0, results, times)
     for it in range(start_it, cli.iters + 1):
         batch = next(feed)
         tb = {
@@ -242,49 +293,9 @@ def run_ref(cli):
                   flush=True)
         if it % cli.ckpt_every == 0 or it == cli.iters:
             model.save(it)
+            eval_now(it, results, times)
 
-    # evaluate every checkpoint with the shared evaluator
-    for net in model.model:
-        model.model[net].eval()
-
-    def make_translate(ckpt):
-        state = torch.load(ckpt)
-        for net in state:
-            model.model[net].load_state_dict(state[net])
-
-        def translate(imgs, z, trg):
-            with torch.no_grad():
-                ti = torch.from_numpy(imgs.transpose(0, 3, 1, 2))
-                z_c = model.model.content_encoder(ti)
-                out = model.model.decoder(
-                    z_c, torch.from_numpy(z), torch.from_numpy(trg)
-                )
-            return out.numpy().transpose(0, 2, 3, 1)
-
-        return translate
-
-    results = []
-    for it in sorted(
-        int(f.split("_")[1].split(".")[0])
-        for f in os.listdir(ckpt_dir) if f.startswith("model_")
-    ):
-        fids = eval_translator(
-            make_translate(os.path.join(ckpt_dir, f"model_{it}.ckpt")),
-            os.path.join(cli.out, "data"), cli.size + 16, cli.size,
-        )
-        row = {"iter": it, **{f"fid_{k}": round(v, 3) for k, v in fids.items()}}
-        print("[ref eval]", json.dumps(row), flush=True)
-        results.append(row)
-    out = {
-        "side": "reference (PyTorch, CPU)",
-        "config": {**CFG, "crop_size": cli.size, "iters": cli.iters,
-                   "seed": cli.seed, "model": cli.model, "concat": cli.concat},
-        "sec_per_iter": round(float(np.mean(times)), 3),
-        "trend": results,
-    }
-    suffix = f"_{cli.tag}" if cli.tag else ""
-    with open(os.path.join(cli.out, f"ref_results{suffix}.json"), "w") as f:
-        json.dump(out, f, indent=1)
+    out = write_results(results, times, partial=False)
     print(json.dumps(out))
 
 
@@ -344,7 +355,9 @@ def run_tpu(cli):
     feed = data_feed(feed_args, seed=cli.seed)
     rng = jax.random.PRNGKey(cli.seed)
     times = []
-    ckpts = {}
+    # score the init too (iter 0): "does training ever improve on init" is
+    # the exact question the r3 flagship-scale collapse raised
+    ckpts = {0: jax.tree.map(np.asarray, dict(state.params))}
     for it in range(1, cli.iters + 1):
         batch = next(feed)
         rng, k = jax.random.split(rng)
