@@ -68,6 +68,9 @@ def main():
     tpu = {k: v for k, v in runs.items() if k.startswith("tpu")}
 
     verdict = "insufficient data"
+    # a side with no TRAINED checkpoint scored yet (partial run that has only
+    # evaluated init) cannot support any improves-on-init conclusion
+    ref = {k: v for k, v in ref.items() if v["final_iter"] > 0}
     if ref and tpu:
         ref_improves = any(v["improves_on_init"] for v in ref.values())
         tpu_improves = any(v["improves_on_init"] for v in tpu.values())

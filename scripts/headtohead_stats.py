@@ -45,7 +45,7 @@ def main():
     with open(cli.json) as f:
         sides = json.load(f)["headtohead"]
 
-    groups = defaultdict(list)  # (model, side-kind, dtype) -> rows
+    groups = defaultdict(list)  # (model, side-kind, dtype[, scale]) -> rows
     for key, run in sides.items():
         cfg = run.get("config", {})
         model = cfg.get("model", "AdaINModel")
@@ -53,6 +53,11 @@ def main():
         if any(m in key for m in PROBE_MARKERS):
             kind += "-probes"
         dtype = cfg.get("compute_dtype", "torch-f32" if kind.startswith("ref") else "?")
+        # like-for-like: runs at a different scale (the round-5 flagship-scale
+        # 128px/dim-64 evidence) must not enter the 96px/dim-32 aggregates
+        scale = (cfg.get("crop_size", 96), cfg.get("dim", 32))
+        if scale != (96, 32):
+            dtype += f"/{scale[0]}px-dim{scale[1]}"
         trend = run.get("trend", [])
         if not trend:
             continue

@@ -11,10 +11,13 @@ Usage: python scripts/npz_to_ckpt.py IN.npz OUT.ckpt
 """
 from __future__ import annotations
 
+import os
 import re
 import sys
 
 import numpy as np
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 
 def npz_to_tree(path: str) -> dict:
