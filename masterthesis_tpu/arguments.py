@@ -173,6 +173,13 @@ def _add_test_args(parser: argparse.ArgumentParser):
         "--int8_calib_batches", type=int, default=2,
         help="number of input batches used for int8 activation calibration",
     )
+    parser.add_argument(
+        "--sample_size", type=int, nargs=2, default=[540, 960],
+        metavar=("H", "W"),
+        help="sampler-time resize (reference sample.py:48-53 hard-codes "
+        "540x960 for driving video; pass e.g. 256 256 to serve at the "
+        "training/serving resolution instead)",
+    )
 
 
 def _resolve_classes(args):

@@ -21,6 +21,7 @@ Known divergences from the reference (intentional):
 """
 from __future__ import annotations
 
+import os
 from typing import Any, Optional
 
 import jax
@@ -417,12 +418,20 @@ class ConvTranspose2d(nn.Module):
                 init_fn=lambda: jnp.zeros((), jnp.float32),
                 reduce_fn=jnp.maximum,
             )
-        # On TPU, int8 deconv only pays through the Pallas sub-pixel kernel
-        # (as-is, or zero-channel-padded to its lane alignment — exact, see
-        # conv_int8.deconv_pad_eligible; that padding is what serves the
-        # BaseModel DecoderConcat tail's 276->138 / 146->73 upsamples int8).
-        # Shapes neither accepts stay bf16 rather than hitting the slow XLA
-        # int8 path. Off-TPU the exact jnp fallback serves the tests.
+        # On TPU, int8 deconv only pays through the Pallas sub-pixel kernel at
+        # NATIVELY lane-aligned shapes. The zero-channel-padded variant
+        # (conv_int8.deconv_pad_eligible — exact; built for the BaseModel
+        # DecoderConcat tail's 276->138 / 146->73 upsamples) is a measured
+        # dead end at those shapes and defaults OFF: padding Co 73->128
+        # (1.75x waste) / 138->192 pushes the padded deconv to 29.4 ms where
+        # the XLA bf16 deconv + fused epilogue ran the whole tail cheaper,
+        # and the kernel boundary un-fuses the downstream affine/concat/head
+        # chain into ~95 ms of standalone elementwise+copy passes at
+        # 256^2/128^2 (serve_profile r5: BaseModel int8 965 img/s padded vs
+        # 1,374 aligned-only). MT_INT8_DECONV_PAD=1 re-enables it for
+        # experiments. Shapes the aligned kernel rejects stay bf16 rather
+        # than hitting the slow XLA int8 path. Off-TPU the exact jnp
+        # fallback serves the tests.
         import jax as _jax
 
         deconv_ok = True
@@ -432,8 +441,9 @@ class ConvTranspose2d(nn.Module):
                 deconv_pad_eligible,
             )
 
-            deconv_ok = deconv_eligible(x, self.features) or deconv_pad_eligible(
-                x, self.features
+            deconv_ok = deconv_eligible(x, self.features) or (
+                os.environ.get("MT_INT8_DECONV_PAD") == "1"
+                and deconv_pad_eligible(x, self.features)
             )
         # declared once up front: the QAT scope gate below may fall through to
         # the float path, which must not re-declare the name (Flax forbids it)
@@ -480,8 +490,6 @@ class ConvTranspose2d(nn.Module):
         if pending is not None:
             # deferred affine not consumed by an int8 kernel: apply inline
             x = apply_pending(x, pending, self.dtype)
-        import os
-
         use_subpixel = os.environ.get("MT_SUBPIXEL_UP") == "1"
         # NOTE: measured on v5e the sub-pixel rewrite is ~8% SLOWER end-to-end
         # (1104 vs 1195 img/s) — XLA's input-dilated conv already skips the

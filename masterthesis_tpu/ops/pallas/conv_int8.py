@@ -327,6 +327,23 @@ def conv3x3_pad_eligible(x: jnp.ndarray, features: int) -> bool:
     return _conv3x3_fits(h, w, c + lane_pad(c), features + lane_pad(features))
 
 
+
+def _bf16_activations(x: jnp.ndarray, interpret) -> jnp.ndarray:
+    """On the real-TPU Pallas path, carry float32 activations as bfloat16.
+
+    The serving kernels stage whole images in VMEM; f32 blocks double that
+    footprint and blow the scoped-vmem budget at flagship shapes (measured:
+    the 256px stride-2 down conv needs 52.8 MB f32 vs the 48 MB limit —
+    sample.py --int8 under the default --compute_dtype float32). The very
+    next in-kernel step quantizes to int8 against the calibrated amax, so
+    the f32->bf16 rounding is far below the quantization step. Interpret
+    mode (CPU tests) keeps the caller dtype for exact fallback comparisons.
+    """
+    if x.dtype == jnp.float32 and interpret is None and jax.default_backend() == "tpu":
+        return x.astype(jnp.bfloat16)
+    return x
+
+
 def int8_conv3x3(
     x: jnp.ndarray,
     w: jnp.ndarray,
@@ -350,6 +367,7 @@ def int8_conv3x3(
     identical math unfused. Returns ``y`` or ``(y, sum, sumsq)``.
     """
     out_dtype = out_dtype or x.dtype
+    x = _bf16_activations(x, interpret)
     amax = jnp.maximum(jnp.asarray(amax_in, jnp.float32), 1e-12)
     inv_sx = INT8_MAX / amax
     sx = amax / INT8_MAX
@@ -783,6 +801,7 @@ def int8_deconv(
     contiguous). Callers detect packing via ``y.shape[-1] != Co``.
     """
     out_dtype = out_dtype or x.dtype
+    x = _bf16_activations(x, interpret)
     amax = jnp.maximum(jnp.asarray(amax_in, jnp.float32), 1e-12)
     inv_sx = INT8_MAX / amax
     sx = amax / INT8_MAX
@@ -1106,6 +1125,7 @@ def int8_resblock(
     the same math from int8_conv3x3 calls (exact same quantize/round
     expressions, so CPU tests validate the TPU path's semantics).
     """
+    x = _bf16_activations(x, interpret)
     amax1 = jnp.maximum(jnp.asarray(amax1, jnp.float32), 1e-12)
     amax2 = jnp.maximum(jnp.asarray(amax2, jnp.float32), 1e-12)
     w1_q, sw1 = quantize_weight(w1)

@@ -318,6 +318,9 @@ class Sampler:
     def run(self):
         with TimerBlock("Sampling") as block:
             args = TestArguments().parse()
+            # rebuild the eval pipeline at the requested serving resolution
+            # (default stays the reference's 540x960, sample.py:48-53)
+            self.transforms = EvalTransform(tuple(getattr(args, "sample_size", (540, 960))))
             model, state = self.load_model(args)
             dataloader = self.load_dataset(args)
             if getattr(args, "int8", False):

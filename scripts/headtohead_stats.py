@@ -65,6 +65,10 @@ def main():
         best = min(r["fid_mean"] for r in trend)
         best_it = min(trend, key=lambda r: r["fid_mean"])["iter"]
         row = {"run": key, "final": final, "best": best, "best_iter": best_it}
+        if run.get("partial"):
+            # incremental-eval run still in progress at snapshot time: its
+            # "final" is just the last checkpoint scored so far
+            row["partial_through_iter"] = trend[-1]["iter"]
         if key in PROVENANCE:
             row["provenance"] = PROVENANCE[key]
         groups[(model, kind, dtype)].append(row)

@@ -68,6 +68,12 @@ def run_cli(args, out_dir: str, int8: bool) -> dict:
         "--crop_size", str(args.size), "--load_size", str(args.size + 16),
         "--reparam", "--concat",
         "--targets", "fog",
+        # serve at the bench's resolution: the CLI's default EvalTransform is
+        # the reference's 540x960 video pipeline (7.9x the pixels of 256^2),
+        # which would make the vs-bench ratio meaningless
+        "--sample_size", str(args.size), str(args.size),
+        # the shipped serving config (and what bench.py measures)
+        "--compute_dtype", "bfloat16",
         "--result_dir", out_dir,
     ]
     if int8:

@@ -34,6 +34,9 @@ def main():
     ap.add_argument("--top", type=int, default=30)
     ap.add_argument("--no-int8", action="store_true",
                     help="profile the bf16 forward instead of int8 serving")
+    ap.add_argument("--model", default="AdaINModel",
+                    choices=["AdaINModel", "BaseModel"],
+                    help="BaseModel profiles the concat decoder serving path")
     cli = ap.parse_args()
 
     import jax
@@ -41,14 +44,16 @@ def main():
     import numpy as np
 
     from masterthesis_tpu.arguments import default_test_args
-    from masterthesis_tpu.models import AdaINModel
+    from masterthesis_tpu.models import AdaINModel, BaseModel
     from masterthesis_tpu.utils import devtime
 
+    model_cls = {"AdaINModel": AdaINModel, "BaseModel": BaseModel}[cli.model]
+    extra = {"concat": True, "reparam": True} if cli.model == "BaseModel" else {}
     args = default_test_args(
         crop_size=cli.size, dim=cli.dim, latent_dim=8, num_domains=4,
-        batch_size=cli.batch, compute_dtype="bfloat16", logdir=None,
+        batch_size=cli.batch, compute_dtype="bfloat16", logdir=None, **extra,
     )
-    model = AdaINModel(args)
+    model = model_cls(args)
     state = model.initialize()
 
     rng = jax.random.PRNGKey(0)
